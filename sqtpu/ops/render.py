@@ -1,0 +1,154 @@
+"""Differentiable superquadric depth renderers.
+
+TPU-native replacement for BOTH depth-image producers in the reference:
+
+* the soft transmittance projection buried in ``ImplicitLoss``
+  (``/root/reference/torch/classes.py:232-282``) — here a standalone,
+  vmapped, jittable renderer usable for loss AND for visualization;
+* the external C++ ray-caster ``data/scanner`` (SURVEY.md §2.2-N2) — here
+  ``render_depth_hard``, an on-device exact ray-cast via bisection on the
+  inside-outside function, so ground-truth data generation never leaves
+  the chip (BASELINE.json north star).
+
+Camera model (verified against the scanner binary, SURVEY.md §2.2-N2):
+orthographic view along −z; image column = world x, image row counted
+from the BOTTOM = world y; pixel value = max surface z along the ray
+(integer grayscale in the scanner, continuous here); background = 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sqtpu.ops import geometry
+
+
+def _depth_from_field(inout: jax.Array, tau, sharpness, n: int) -> jax.Array:
+    """Soft occupancy -> transmittance depth, image convention.
+
+    ``inout`` is F^(e1) on an (Nx, Ny, Nz) grid. Steps mirror
+    ``classes.py:273-279``: occupancy sigmoid, z-flipped cumulative sum,
+    exponential transmittance, then (x,y) -> (row, col) with the row axis
+    flipped so row 0 is the image top (cv2 convention).
+    """
+    occ = jax.nn.sigmoid(sharpness * (1.0 - inout))
+    # cumsum over z starting from the far end (z = max first)
+    cum = jnp.cumsum(jnp.flip(occ, axis=-1), axis=-1)
+    transmittance = jnp.exp(-tau * cum)
+    depth = 1.0 - jnp.sum(transmittance, axis=-1) / n  # (Nx, Ny)
+    return jnp.flip(depth.T, axis=0)  # (rows, cols), row 0 = top
+
+
+def render_depth_soft(
+    p: jax.Array,
+    render_size: int = 64,
+    tau: float = 1.5,
+    sharpness: float = 260.0,
+    *,
+    clamp: bool = True,
+    dtype=None,
+) -> jax.Array:
+    """Soft differentiable depth render of one SQ, shape (N, N), values [0,1].
+
+    Faithful to ``ImplicitLoss.depth_projection`` (``classes.py:232-282``)
+    with the training defaults tau=1.5, sharpness=260
+    (``torch/train.py:64``). vmap over a batch of parameter vectors.
+    """
+    if dtype is None:
+        dtype = p.dtype
+    ax = geometry.make_axis(render_size, "implicit", dtype=dtype)
+    pp = geometry.clamp_params(p) if clamp else p
+    inout = geometry.field_grid(ax, ax, ax, pp, guard=True)
+    tau = jnp.asarray(tau, dtype)
+    sharpness = jnp.asarray(sharpness, dtype)
+    return _depth_from_field(inout, tau, sharpness, render_size)
+
+
+render_depth_soft_batch = jax.vmap(
+    render_depth_soft, in_axes=(0,) + (None,) * 3, out_axes=0
+)
+
+
+# ---------------------------------------------------------------------------
+# Hard (exact) renderer — the scanner replacement
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("image_size", "n_bisect", "quantize"))
+def render_depth_hard(
+    p: jax.Array,
+    image_size: int = 256,
+    n_bisect: int = 24,
+    quantize: bool = False,
+) -> jax.Array:
+    """Exact orthographic depth map by ray-casting F(x,y,z)=1, shape (S, S).
+
+    For every pixel the ray runs along −z; because e1,e2 ∈ (0, 2] keeps
+    the superquadric convex, the inside set along a ray is an interval,
+    so a full z-sweep (one F evaluation per integer z-slab, streamed with
+    ``lax.scan`` to keep memory at one (S,S) slab) finds the topmost
+    inside slab, and ``n_bisect`` bisection steps refine the surface
+    crossing to sub-voxel precision. Returns values in [0,1] = max
+    surface z / (S-1)·(S-1)/S ≈ z; background exactly 0.
+
+    ``quantize=True`` floors to integer grayscale / 255 like the scanner
+    binary's BMP output (SURVEY.md §2.2-N2).
+    """
+    dtype = p.dtype
+    s = image_size
+    # Pixel world coordinates normalized to [0,1] (x=col, y=row-from-bottom).
+    # For s=256 this is exactly the scanner's integer-pixel/255 lattice.
+    ax = jnp.arange(s, dtype=dtype) / jnp.asarray(s - 1, dtype)
+    X = ax[:, None]  # (s, 1) x varies over rows of this (x, y) layout
+    Y = ax[None, :]  # (1, s)
+
+    a, e, t, q = geometry.split_params(p)
+    from sqtpu.ops import quaternion as quat
+    rot = quat.to_matrix(quat.conjugate(q))
+    tr = rot @ t
+
+    def f_at(z):
+        """F^(e1) on the (s, s) pixel plane at world z (scalar or (s,s))."""
+        x2 = ((rot[0, 0] * X + rot[0, 1] * Y + rot[0, 2] * z - tr[0]) / a[0]) ** 2
+        y2 = ((rot[1, 0] * X + rot[1, 1] * Y + rot[1, 2] * z - tr[1]) / a[1]) ** 2
+        z2 = ((rot[2, 0] * X + rot[2, 1] * Y + rot[2, 2] * z - tr[2]) / a[2]) ** 2
+        return geometry._power_chain(x2, y2, z2, e[0], e[1], guard=True)
+
+    # Sweep z from far (1.0) to near (0.0): the FIRST inside hit is max-z.
+    zs = jnp.arange(s - 1, -1, -1, dtype=dtype) / jnp.asarray(s - 1, dtype)
+
+    def sweep(carry, z):
+        z_in, found = carry
+        inside = f_at(z) <= 1.0
+        newly = inside & ~found
+        z_in = jnp.where(newly, z, z_in)
+        return (z_in, found | inside), None
+
+    (z_inside, hit), _ = jax.lax.scan(
+        sweep, (jnp.zeros((s, s), dtype), jnp.zeros((s, s), bool)), zs
+    )
+
+    # Bisect between the inside slab and the slab above it (outside).
+    step = jnp.asarray(1.0 / (s - 1), dtype)
+    lo = z_inside            # inside
+    hi = z_inside + step     # outside (or beyond the top slab)
+
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        inside = f_at(mid) <= 1.0
+        return jnp.where(inside, mid, lo), jnp.where(inside, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, bisect, (lo, hi))
+
+    depth = jnp.where(hit, lo, jnp.zeros_like(lo))
+    if quantize:
+        depth = jnp.floor(depth * 255.0) / 255.0
+    # (x, y) plane -> image rows/cols: row = s-1 - y, col = x
+    return jnp.flip(depth.T, axis=0)
+
+
+def render_depth_hard_batch(p: jax.Array, image_size: int = 256, **kw) -> jax.Array:
+    return jax.vmap(lambda pi: render_depth_hard(pi, image_size, **kw))(p)

@@ -1,0 +1,61 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The TPU-pod stand-in story (SURVEY.md §4 implication (c)): tests run on
+CPU with ``xla_force_host_platform_device_count=8`` so sharding /
+collective code paths execute without TPU hardware, and with x64 enabled
+so fp64 conformance-vs-reference checks are exact.
+
+NOTE: the environment pins ``JAX_PLATFORMS=axon`` (a tunneled TPU);
+``jax.config.update('jax_platforms', 'cpu')`` must run before any backend
+initialization, hence this happens at conftest import time.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+SCANNER = os.path.join(REFERENCE, "data", "scanner")
+EXAMPLES = os.path.join(REFERENCE, "data", "example_imgs")
+
+
+@pytest.fixture(scope="session")
+def example_labels():
+    """(filenames, (N,12) fp64 torch-normalized params) from the shipped
+    example labels."""
+    from sqtpu.data.labels import parse_labels_txt
+
+    return parse_labels_txt(os.path.join(EXAMPLES, "labels.txt"))
+
+
+@pytest.fixture(scope="session")
+def golden_params(example_labels):
+    """Params of 000000.bmp — the conformance anchor (SURVEY.md §6.2)."""
+    _, labels = example_labels
+    return np.asarray(labels[0], dtype=np.float64)
+
+
+@pytest.fixture(scope="session")
+def golden_image():
+    """000000.bmp as float64 /255 (the torch pipeline normalization)."""
+    from sqtpu.data.bmp import read_bmp
+
+    img = read_bmp(os.path.join(EXAMPLES, "000000.bmp"))
+    return img.astype(np.float64) / 255.0
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "scanner: tests that execute the reference scanner binary"
+    )
