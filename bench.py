@@ -1,0 +1,91 @@
+"""Headline benchmark: rotated-SQ training throughput (train step).
+
+Measures the FULL flagship training step — ResNetSQ forward, implicit
+(self-supervised depth re-projection) loss on a 64³ voxel grid, backward,
+Adam update — in steady state on the available device(s), and reports
+depth-images/sec/chip.
+
+Baseline: the reference never measured training throughput (BASELINE.md);
+the north-star target from BASELINE.json is ≥20,000 imgs/s on a v5e-8,
+i.e. 2,500 imgs/s/chip. ``vs_baseline`` is measured imgs/s/chip divided
+by that 2,500 target.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 256
+WARMUP = 3
+ITERS = 20
+BASELINE_PER_CHIP = 2500.0  # north-star v5e-8 target / 8 chips
+
+
+def main():
+    from sqtpu.models import ResNetSQ
+    from sqtpu.parallel.mesh import make_mesh
+    from sqtpu.training.loop import make_train_step
+    from sqtpu.training.state import create_train_state
+    from sqtpu.utils.config import TrainConfig
+
+    n_chips = len(jax.devices())
+    cfg = TrainConfig(batch_size=BATCH, render_size=64, loss="implicit")
+    mesh = make_mesh()
+    model = ResNetSQ()
+    state = create_train_state(model, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(model, cfg, mesh)
+
+    key = jax.random.PRNGKey(1)
+    imgs = jax.random.uniform(key, (BATCH, 256, 256, 1), jnp.float32)
+    labels = jnp.tile(
+        jnp.asarray([[0.2, 0.2, 0.2, 0.5, 0.5, 0.5, 0.5, 0.5, 0, 0, 0, 1]],
+                    jnp.float32), (BATCH, 1))
+
+    # Chain ITERS steps inside one jit and fetch the final loss to host:
+    # a single dispatch + hard device->host sync. (block_until_ready is
+    # not a reliable fence through the axon tunnel — measured 50x fast.)
+    def one(s, _):
+        s, l = step(s, imgs, labels)
+        return s, l
+
+    @jax.jit
+    def run_n(s):
+        return jax.lax.scan(lambda c, x: one(c, x), s, None, length=ITERS)
+
+    for _ in range(WARMUP):
+        state, loss = step(state, imgs, labels)
+    _ = float(loss)  # hard sync
+
+    t0 = time.perf_counter()
+    state, losses_hist = run_n(state)
+    loss = losses_hist[-1]
+    _ = float(loss)  # hard sync
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    per_chip = imgs_per_sec / n_chips
+    point_evals_per_sec = imgs_per_sec * cfg.render_size**3
+
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "256x256 depth imgs/sec/chip (full train step, implicit loss @64^3)",
+        "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),
+        "detail": {
+            "imgs_per_sec_total": round(imgs_per_sec, 2),
+            "n_chips": n_chips,
+            "batch": BATCH,
+            "loss_point_evals_per_sec": round(point_evals_per_sec, 1),
+            "final_loss": float(loss),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""On-device synthetic data generation — the L1 replacement.
+
+The reference generates training data OFFLINE: a Python script emits
+150k scanner shell commands and a CSV (``gen_rand_rot.py``, SURVEY.md
+§3.5), one C++ process per image, then packs BMPs into HDF5. Here the
+whole pipeline is a jitted function: ``jax.random`` samples the same
+parameter distributions and the on-device renderer draws the depth maps
+— no host round-trips, shardable over the 'data' mesh axis.
+
+Distributions (``gen_rand_rot.py:17-31``, ``test_random.py:34-37``):
+a ~ U(25, 75), e ~ U(0.1, 1.0), t ~ 128 + U(−40, 40) (all /255 in
+normalized space), q Shoemake-uniform; isometric variant pins
+q = (1,1,1,0)/√3 (``gen_rand_iso.py:11``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sqtpu.ops import quaternion as quat
+from sqtpu.ops.render import render_depth_hard, render_depth_soft
+
+
+def sample_params(
+    key: jax.Array, batch: int, iso: bool = False, dtype=jnp.float32
+) -> jax.Array:
+    """(B, 12) random SQ parameters in normalized units."""
+    ka, ke, kt, kq = jax.random.split(key, 4)
+    a = jax.random.uniform(ka, (batch, 3), dtype, 25 / 255, 75 / 255)
+    e = jax.random.uniform(ke, (batch, 2), dtype, 0.1, 1.0)
+    t = (128.0 + jax.random.uniform(kt, (batch, 3), dtype, -40.0, 40.0)) / 255.0
+    if iso:
+        q = jnp.broadcast_to(
+            jnp.asarray([1.0, 1.0, 1.0, 0.0], dtype) / jnp.sqrt(3.0),
+            (batch, 4),
+        ).astype(dtype)
+    else:
+        q = quat.random_uniform(kq, (batch,), dtype)
+    return jnp.concatenate([a, e, t, q], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("batch", "image_size", "renderer", "iso"))
+def make_batch(
+    key: jax.Array,
+    batch: int,
+    image_size: int = 256,
+    renderer: str = "hard",
+    iso: bool = False,
+):
+    """Generate one (images, labels) batch entirely on device.
+
+    Returns:
+      images: (B, S, S, 1) float depth maps in [0, 1] (NHWC, the /255
+        convention of the torch pipeline).
+      labels: (B, 12) normalized parameter vectors.
+    """
+    p = sample_params(key, batch, iso=iso)
+    if renderer == "hard":
+        imgs = jax.vmap(
+            lambda pi: render_depth_hard(pi, image_size, n_bisect=12,
+                                         quantize=True)
+        )(p)
+    elif renderer == "soft":
+        imgs = jax.vmap(
+            lambda pi: render_depth_soft(pi, image_size, 1.5, 260.0)
+        )(p)
+    else:
+        raise ValueError(f"unknown renderer {renderer}")
+    return imgs[..., None], p

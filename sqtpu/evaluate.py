@@ -1,0 +1,169 @@
+"""Evaluation entry points (reference L7: ``torch/test.py`` and
+``torch/test_random.py``).
+
+The reference's closed loop crosses a process + disk boundary twice per
+sample (scanner shell-out for GT, again for the prediction render —
+``test_random.py:41-43,71-77``). Here the whole loop is on-device: random
+params -> hard ray-cast render -> model -> IoU/MAE, batched.
+
+Usage::
+
+    # single-image inference (test.py equivalent)
+    python -m sqtpu.evaluate --ckpt-dir checkpoints/run0 single image.bmp
+
+    # closed-loop random eval, N samples (test_random.py equivalent)
+    python -m sqtpu.evaluate --ckpt-dir checkpoints/run0 --n 1000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqtpu.data.bmp import read_bmp, write_bmp
+from sqtpu.data.labels import denormalize_torch
+from sqtpu.data.synthetic import sample_params
+from sqtpu.models import build_model, params_vector
+from sqtpu.ops import metrics
+from sqtpu.ops.render import render_depth_hard
+from sqtpu.training.state import create_train_state
+from sqtpu.utils.checkpoint import load_checkpoint
+from sqtpu.utils.config import EvalConfig, TrainConfig, parse_cli
+
+
+def load_eval_state(cfg: EvalConfig):
+    model = build_model(cfg.model)
+    tc = TrainConfig(model=cfg.model, image_size=cfg.image_size)
+    state = create_train_state(model, jax.random.PRNGKey(0), tc)
+    ckpt = os.path.join(cfg.ckpt_dir, "best")
+    if os.path.exists(os.path.abspath(ckpt)):
+        state, _, _ = load_checkpoint(ckpt, state)
+    else:
+        print(f"[warn] no checkpoint at {ckpt}; using random init",
+              file=sys.stderr)
+    return model, state
+
+
+def predict(model, state, imgs: jax.Array) -> jax.Array:
+    """(B, H, W, 1) images -> (B, 12) parameter vectors (eval mode)."""
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    return params_vector(model.apply(variables, imgs, train=False))
+
+
+def eval_single(cfg: EvalConfig, image_path: str):
+    """``torch/test.py`` equivalent: one BMP -> de-normalized params."""
+    model, state = load_eval_state(cfg)
+    img = read_bmp(image_path).astype(np.float32) / 255.0
+    pred = np.asarray(predict(model, state, jnp.asarray(img)[None, ..., None]))[0]
+    d = denormalize_torch(pred)
+    print("Predicted parameters:")
+    print("Size a:", d[0:3])
+    print("Shape e:", d[3:5])
+    print("Position t:", d[5:8])
+    print("Rotation q:", d[8:12])
+    return pred
+
+
+def eval_random(cfg: EvalConfig):
+    """``torch/test_random.py`` equivalent, fully on device.
+
+    Per batch: sample the reference eval distribution
+    (``test_random.py:34-37``), ray-cast GT depth, predict, score with the
+    IoU triple at 128³ (rotation-isolated IoU, full IoU, angle error —
+    the fixed quirk-Q7 semantics) and per-parameter MAE.
+    Artifacts: ``results.txt`` append log + ``accs.npz`` (the reference
+    pickled; npz is the interop-friendly equivalent).
+    """
+    model, state = load_eval_state(cfg)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    @partial(jax.jit, static_argnames=())
+    def batch_eval(key):
+        p_true = sample_params(key, cfg.batch_size)
+        imgs = jax.vmap(
+            lambda pi: render_depth_hard(pi, cfg.image_size, n_bisect=12,
+                                         quantize=True)
+        )(p_true)[..., None]
+        p_pred = predict(model, state, imgs)
+        triple = metrics.iou_full(p_true, p_pred, cfg.acc_render_size)
+        mae = jnp.abs(p_pred - p_true)
+        return p_true, p_pred, triple, mae, imgs
+
+    all_triples, all_mae = [], []
+    f = open(os.path.join(cfg.out_dir, cfg.results_file), "a")
+    n_batches = (cfg.n + cfg.batch_size - 1) // cfg.batch_size
+    pairs_saved = 0
+    for b in range(n_batches):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), b)
+        p_true, p_pred, triple, mae, imgs = batch_eval(key)
+        p_true, p_pred = np.asarray(p_true), np.asarray(p_pred)
+        triple, mae = np.asarray(triple), np.asarray(mae)
+        all_triples.append(triple)
+        all_mae.append(mae)
+        for i in range(triple.shape[0]):
+            idx = b * cfg.batch_size + i
+            if idx >= cfg.n:
+                break
+            print(f"---------- Example {idx} ----------", file=f)
+            print("True params:", denormalize_torch(p_true[i]), file=f)
+            print("Pred params:", denormalize_torch(p_pred[i]), file=f)
+            print("- Accuracy:", triple[i] * 100, file=f)
+        # side-by-side true/pred renders (save_compare_images equivalent)
+        while pairs_saved < cfg.save_pairs and pairs_saved < cfg.batch_size:
+            i = pairs_saved
+            true_img = (np.asarray(imgs[i, ..., 0]) * 255).astype(np.uint8)
+            pred_img = np.asarray(
+                render_depth_hard(jnp.asarray(p_pred[i]), cfg.image_size,
+                                  quantize=True)) * 255
+            write_bmp(os.path.join(cfg.out_dir, f"{i}_true.bmp"), true_img)
+            write_bmp(os.path.join(cfg.out_dir, f"{i}_pred.bmp"),
+                      pred_img.astype(np.uint8))
+            pairs_saved += 1
+    f.close()
+
+    triples = np.concatenate(all_triples)[: cfg.n]
+    maes = np.concatenate(all_mae)[: cfg.n]
+    rot_iou, full_iou, ang = triples[:, 0], triples[:, 1], triples[:, 2]
+    print("--Rot::")
+    print("Mean: ", rot_iou.mean())
+    print("Std: ", rot_iou.std())
+    print("--Full::")
+    print("Mean: ", full_iou.mean())
+    print("Std: ", full_iou.std())
+    print("--Angle err (rad)::")
+    print("Mean: ", ang.mean())
+    print("--Param MAE (12)::")
+    print(maes.mean(axis=0))
+    np.savez(os.path.join(cfg.out_dir, "accs.npz"),
+             rot_iou=rot_iou, full_iou=full_iou, angle=ang, mae=maes)
+    return {"rot_iou_mean": float(rot_iou.mean()),
+            "full_iou_mean": float(full_iou.mean()),
+            "angle_mean": float(ang.mean()),
+            "param_mae": maes.mean(axis=0).tolist()}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    single_path = None
+    if "single" in argv:
+        i = argv.index("single")
+        single_path = argv[i + 1]
+        del argv[i: i + 2]
+    cfg = parse_cli(EvalConfig, argv)
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    if single_path:
+        eval_single(cfg, single_path)
+    else:
+        eval_random(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Direct superquadric fitting — no neural net in the loop.
+
+Covers two reference components:
+
+* ``torch/visu.py:123-209`` — gradient-descent fitting of a 12-param leaf
+  tensor under any L4 loss, with manual SGD and per-step quaternion
+  renormalization (``:182-187``). Here the whole optimization is a
+  ``lax.scan`` on device (:func:`gd_fit`), with SGD-parity and Adam
+  variants; it doubles as the loss-landscape test rig exactly as visu.py
+  does (README.md:12).
+* the classical iterative recovery inside the ``data/scanner`` binary
+  (symbols ``recover``/``estimate``/``mrqmin`` — Numerical-Recipes
+  Levenberg–Marquardt with a moments-based initial pose, SURVEY.md
+  §2.2-N4): :func:`moments_init` + :func:`lm_fit` on the Solina–Bajcsy
+  energy, built from ``jax.jacfwd`` + damped normal equations inside a
+  ``lax.scan`` (accept/reject with adaptive lambda).
+
+Usage::
+
+    python -m sqtpu.fit --loss explicit --steps 2000 --optimizer sgd
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqtpu.ops import geometry, losses, metrics
+from sqtpu.ops import quaternion as quat
+from sqtpu.ops.image import nearest_resize
+from sqtpu.utils.config import FitConfig, parse_cli
+
+
+def _loss_closure(cfg: FitConfig, target_params=None, target_image=None):
+    if cfg.loss == "explicit":
+        assert target_params is not None
+        tp = target_params[None]
+        return lambda p: losses.explicit_loss(tp, p[None], cfg.render_size)
+    if cfg.loss == "implicit":
+        assert target_image is not None
+        ti = target_image[None]
+        return lambda p: losses.implicit_loss(
+            ti, p[None], cfg.render_size, cfg.tau, cfg.sigmoid_sharpness)
+    if cfg.loss == "leastsquares":
+        assert target_image is not None
+        ti = target_image[None]
+        return lambda p: losses.least_squares_loss(ti, p[None],
+                                                   cfg.render_size)
+    raise ValueError(f"unknown loss {cfg.loss}")
+
+
+def _renorm_quat(p):
+    q = p[8:12]
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    return p.at[8:12].set(q)
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "steps", "optimizer"))
+def _fit_scan(p0, loss_fn, steps: int, lr: float, optimizer: str):
+    if optimizer == "adam":
+        import optax
+        tx = optax.adam(lr)
+        opt0 = tx.init(p0)
+
+        def body(carry, _):
+            p, opt = carry
+            l, g = jax.value_and_grad(loss_fn)(p)
+            updates, opt = tx.update(g, opt, p)
+            p = _renorm_quat(p + updates)
+            return (p, opt), l
+
+        (p, _), hist = jax.lax.scan(body, (p0, opt0), None, length=steps)
+        return p, hist
+
+    def body(p, _):
+        # visu.py:182-187: params -= lr*grad; q -= lr*grad_q; q /= ||q||
+        l, g = jax.value_and_grad(loss_fn)(p)
+        p = _renorm_quat(p - lr * g)
+        return p, l
+
+    return jax.lax.scan(body, p0, None, length=steps)
+
+
+def gd_fit(cfg: FitConfig, target_params=None, target_image=None,
+           p0=None, key=None):
+    """Gradient-descent fit. Returns (fitted 12-params, loss history)."""
+    if p0 is None:
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        k1, k2 = jax.random.split(key)
+        # visu.py:55-56 randsq() + randquat() init distribution
+        a = jax.random.uniform(k1, (3,), jnp.float32, 0.1, 0.3)
+        et = jax.random.uniform(k2, (5,), jnp.float32, 0.1, 1.0)
+        e, t = et[:2], 0.34 + et[2:] * (0.65 - 0.34) / 1.0
+        q = quat.random_uniform(jax.random.fold_in(key, 3), ())
+        p0 = jnp.concatenate([a, e, t, q]).astype(jnp.float32)
+    loss_fn = _loss_closure(cfg, target_params, target_image)
+    return _fit_scan(p0, loss_fn, cfg.steps, cfg.learning_rate,
+                     cfg.optimizer if cfg.optimizer != "lm" else "sgd")
+
+
+# ---------------------------------------------------------------------------
+# Moments init + Levenberg–Marquardt (scanner binary N4 equivalent)
+# ---------------------------------------------------------------------------
+
+def image_points(img: jax.Array, n: int = 64):
+    """Lift a depth image to weighted 3-D points ((n*n, 3), (n*n,) mask) —
+    same (y, 1−x, z) convention as the least-squares loss
+    (``classes.py:358-369``)."""
+    small = nearest_resize(img, (n, n))
+    rows = (jnp.arange(n, dtype=img.dtype) / n)[:, None]
+    cols = (jnp.arange(n, dtype=img.dtype) / n)[None, :]
+    pts = jnp.stack([
+        jnp.broadcast_to(cols, (n, n)),
+        jnp.broadcast_to(1.0 - rows, (n, n)),
+        small,
+    ], axis=-1).reshape(-1, 3)
+    return pts, (small > 0).reshape(-1).astype(img.dtype)
+
+
+def moments_init(pts: jax.Array, mask: jax.Array) -> jax.Array:
+    """Initial SQ estimate from point moments (``estimate`` /
+    ``inertia_in_frame`` / ``eigen`` lineage in the binary).
+
+    Centroid -> t, PCA eigenvectors -> orientation (det fixed to +1),
+    2·sqrt(3·eigenvalues) -> sizes (exact for a uniform box), e = (1, 1).
+    """
+    w = mask / jnp.maximum(jnp.sum(mask), 1.0)
+    mean = jnp.sum(pts * w[:, None], axis=0)
+    centered = pts - mean
+    cov = (centered * w[:, None]).T @ centered
+    eigval, eigvec = jnp.linalg.eigh(cov)
+    # ascending order -> make axis 3 (z) the largest variance, keep right-handed
+    R = eigvec
+    R = jnp.where(jnp.linalg.det(R) < 0, -R, R)
+    q0 = quat.from_matrix(R)
+    a0 = jnp.clip(jnp.sqrt(jnp.maximum(3.0 * eigval, 1e-8)),
+                  geometry.A_MIN, geometry.A_MAX)
+    e0 = jnp.asarray([1.0, 1.0], pts.dtype)
+    return jnp.concatenate([a0, e0, jnp.clip(mean, 0.0, 1.0), q0])
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def lm_fit(pts: jax.Array, mask: jax.Array, p0: jax.Array,
+           iters: int = 50, lam0: float = 1e-2):
+    """Damped least squares (Levenberg–Marquardt) on the Solina–Bajcsy
+    residuals r_i = √(a1a2a3)·(F^e1 − 1) over masked image points.
+
+    ``mrqmin``-style adaptive damping: accepted steps shrink lambda 0.3x,
+    rejected steps grow it 3x (step discarded). Fixed iteration count so
+    the whole solve is one compiled ``lax.scan``.
+    """
+    def residuals(p):
+        pp = geometry.clamp_params(_renorm_quat(p))
+        f = geometry.field_points(pts, pp, guard=True)
+        a = pp[geometry.SIZE_SLICE]
+        return jnp.sqrt(a[0] * a[1] * a[2]) * (f - 1.0) * mask
+
+    def cost(p):
+        return jnp.sum(residuals(p) ** 2)
+
+    def step(carry, _):
+        p, lam, c = carry
+        r = residuals(p)
+        J = jax.jacfwd(residuals)(p)           # (P, 12)
+        A = J.T @ J
+        g = J.T @ r
+        damped = A + lam * jnp.diag(jnp.diag(A)) \
+            + 1e-12 * jnp.eye(12, dtype=p.dtype)
+        delta = jnp.linalg.solve(damped, g)
+        p_new = _renorm_quat(p - delta)
+        c_new = cost(p_new)
+        accept = c_new < c
+        p = jnp.where(accept, p_new, p)
+        lam = jnp.where(accept, lam * 0.3, lam * 3.0)
+        c = jnp.minimum(c, c_new)
+        return (p, lam, c), c
+
+    lam0 = jnp.asarray(lam0, p0.dtype)
+    (p, _, c), hist = jax.lax.scan(
+        step, (p0, lam0, cost(p0)), None, length=iters)
+    return geometry.clamp_params(_renorm_quat(p)), hist
+
+
+def recover(img: jax.Array, n_points: int = 64, iters: int = 50):
+    """Full classical recovery: moments init + L-M refine on one depth
+    image — the ``recover`` entry of the scanner binary, on device."""
+    pts, mask = image_points(img, n_points)
+    p0 = moments_init(pts, mask)
+    return lm_fit(pts, mask, p0, iters)
+
+
+def main(argv=None):
+    cfg = parse_cli(FitConfig, argv)
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    key = jax.random.PRNGKey(cfg.seed)
+    # a random ground truth like visu.py:77
+    from sqtpu.data.synthetic import sample_params
+    from sqtpu.ops.render import render_depth_hard
+
+    true_p = sample_params(key, 1)[0]
+    img = render_depth_hard(true_p, 256, n_bisect=12, quantize=True)
+
+    if cfg.optimizer == "lm":
+        p_fit, hist = recover(img, iters=cfg.steps if cfg.steps <= 200 else 50)
+    else:
+        p_fit, hist = gd_fit(cfg, target_params=true_p, target_image=img)
+    iou = float(metrics.iou(true_p[None], p_fit[None], 64))
+    print("true:", np.asarray(true_p))
+    print("fit: ", np.asarray(p_fit))
+    print(f"final loss {float(hist[-1]):.6f}  IoU {iou:.4f}  "
+          f"steps {len(np.asarray(hist))}")
+    return p_fit, hist
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,20 @@
+"""Flax CNN regressors (reference L5)."""
+
+from sqtpu.models.encoders import ConvEncoder, MLPNeck  # noqa: F401
+from sqtpu.models.heads import (  # noqa: F401
+    BlockHead, PositionHead, RotationHead, ShapeHead, SizeHead,
+)
+from sqtpu.models.nets import GenericNetSQ, KerasIsoNet, KerasRotNet  # noqa: F401
+from sqtpu.models.resnet import BasicBlock, ResNet18, ResNetSQ, params_vector  # noqa: F401
+from sqtpu.models.torch_port import load_torchvision_resnet18  # noqa: F401
+
+MODEL_REGISTRY = {
+    "resnet_sq": ResNetSQ,
+    "generic_sq": GenericNetSQ,
+    "keras_iso": KerasIsoNet,
+    "keras_rot": KerasRotNet,
+}
+
+
+def build_model(name: str, **kwargs):
+    return MODEL_REGISTRY[name](**kwargs)

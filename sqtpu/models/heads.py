@@ -1,0 +1,74 @@
+"""Output heads for SQ parameter regression (reference L5 heads,
+``/root/reference/torch/models.py:7-122``).
+
+Each head optionally inserts a hidden dense layer (the reference's
+``dense=`` flag). Activations match the reference exactly:
+
+* Size / Shape / Position: Linear -> sigmoid (bounded [0,1] params)
+* Rotation: Linear -> L2-normalize (unit quaternion, xyzw)
+* Block: raw Linear (the reference's unused 8-param head, kept for parity)
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class _Head(nn.Module):
+    features: int
+    dense: bool = False
+    dense_features: int = 64
+
+    def _trunk(self, x):
+        if self.dense:
+            x = nn.Dense(self.dense_features)(x)
+            x = nn.leaky_relu(x, 0.01)
+        return nn.Dense(self.features)(x)
+
+
+class SizeHead(_Head):
+    features: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.sigmoid(self._trunk(x))
+
+
+class ShapeHead(_Head):
+    features: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.sigmoid(self._trunk(x))
+
+
+class PositionHead(_Head):
+    features: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.sigmoid(self._trunk(x))
+
+
+class RotationHead(_Head):
+    """Linear -> unit quaternion (``torch/models.py:22-30``)."""
+
+    features: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        q = self._trunk(x)
+        # eps guard: the reference divides by the raw norm (models.py:28),
+        # which NaNs on an exactly-zero logit vector (e.g. zero-init bias
+        # with zero features). Guarded here; identical for any nonzero q.
+        n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        return q / jnp.maximum(n, jnp.asarray(1e-12, q.dtype))
+
+
+class BlockHead(_Head):
+    features: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        return self._trunk(x)

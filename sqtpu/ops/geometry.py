@@ -125,8 +125,15 @@ def _power_chain(x2, y2, z2, e1, e2, *, guard: bool):
     A = jnp.power(x2, 1.0 / e2)
     B = jnp.power(y2, 1.0 / e2)
     C = jnp.power(z2, 1.0 / e1)
-    E = jnp.power(A + B, e2 / e1)
-    return jnp.power(E + C, e1)
+    # In fp32, pow(x2, 1/e2) can UNDERFLOW to exactly 0 for in-distribution
+    # params (x2 ~ 1e-6, 1/e2 ~ 8), making the outer pow's base-vjp
+    # 0^(negative) = inf -> NaN gradients. The reference never hits this
+    # because its losses run float64 (quirk Q6). Adding the dtype's
+    # smallest normal (1.2e-38 fp32 / 2.2e-308 fp64) is a no-op at any
+    # parity-relevant scale and keeps fp32 training NaN-free.
+    tiny = jnp.asarray(jnp.finfo(x2.dtype).tiny, x2.dtype)
+    E = jnp.power(A + B + tiny, e2 / e1)
+    return jnp.power(E + C + tiny, e1)
 
 
 def _rotated_frame(p: jax.Array):

@@ -1,0 +1,33 @@
+"""Fused Pallas kernels for the hot ops + dispatch.
+
+:func:`implicit_loss_auto` picks the fastest available implementation of
+the implicit loss for the current backend: the fused Pallas TPU kernel
+(:mod:`sqtpu.ops.kernels.implicit`) when running on TPU with fp32,
+otherwise the XLA-fused jnp path (:func:`sqtpu.ops.losses.implicit_loss`,
+bit-identical semantics — the Pallas kernel is tested against it).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from sqtpu.ops import losses
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def implicit_loss_auto(img, pred_p, render_size=64, tau=1.5,
+                       sharpness=260.0):
+    if _on_tpu() and pred_p.dtype == jax.numpy.float32:
+        try:
+            from sqtpu.ops.kernels.implicit import implicit_loss_pallas
+            return implicit_loss_pallas(img, pred_p, render_size, tau,
+                                        sharpness)
+        except ImportError:
+            pass
+    return losses.implicit_loss(img, pred_p, render_size, tau, sharpness)

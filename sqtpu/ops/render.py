@@ -76,12 +76,14 @@ render_depth_soft_batch = jax.vmap(
 # Hard (exact) renderer — the scanner replacement
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("image_size", "n_bisect", "quantize"))
+@partial(jax.jit, static_argnames=("image_size", "n_bisect", "quantize",
+                                   "n_sweep"))
 def render_depth_hard(
     p: jax.Array,
     image_size: int = 256,
     n_bisect: int = 24,
     quantize: bool = False,
+    n_sweep: int | None = None,
 ) -> jax.Array:
     """Exact orthographic depth map by ray-casting F(x,y,z)=1, shape (S, S).
 
@@ -95,6 +97,12 @@ def render_depth_hard(
 
     ``quantize=True`` floors to integer grayscale / 255 like the scanner
     binary's BMP output (SURVEY.md §2.2-N2).
+
+    ``n_sweep`` controls the coarse z-sweep slab count (default =
+    ``image_size``). The thinnest renderable SQ in the reference data
+    distribution has diameter 2·25/255 ≈ 0.196, so 64 slabs (spacing
+    0.016) cannot miss geometry — use ``n_sweep=64`` for ~3x cheaper
+    bulk data generation at identical output.
     """
     dtype = p.dtype
     s = image_size
@@ -117,7 +125,8 @@ def render_depth_hard(
         return geometry._power_chain(x2, y2, z2, e[0], e[1], guard=True)
 
     # Sweep z from far (1.0) to near (0.0): the FIRST inside hit is max-z.
-    zs = jnp.arange(s - 1, -1, -1, dtype=dtype) / jnp.asarray(s - 1, dtype)
+    nsw = s if n_sweep is None else n_sweep
+    zs = jnp.arange(nsw - 1, -1, -1, dtype=dtype) / jnp.asarray(nsw - 1, dtype)
 
     def sweep(carry, z):
         z_in, found = carry
@@ -131,7 +140,7 @@ def render_depth_hard(
     )
 
     # Bisect between the inside slab and the slab above it (outside).
-    step = jnp.asarray(1.0 / (s - 1), dtype)
+    step = jnp.asarray(1.0 / (nsw - 1), dtype)
     lo = z_inside            # inside
     hi = z_inside + step     # outside (or beyond the top slab)
 

@@ -1,0 +1,73 @@
+"""Grid-axis-sharded losses — the "long axis" story (SURVEY.md §5.7).
+
+The reference materializes 64³–128³ voxel grids per sample on one GPU
+(``torch/classes.py:218-221``). Here the grid's x axis (= image columns
+of the depth projection) can be sharded over the mesh's ``"grid"`` axis:
+each device evaluates the field and transmittance for its slab of
+columns and contributes a partial L1 sum, combined with one ``psum``
+over ICI. Composes with batch sharding over ``"data"`` (DP x SP).
+
+The z-direction cumulative sum stays on-device (it is the sequential
+transmittance axis); sharding x instead keeps the scan local and the
+communication to a single scalar-per-sample reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sqtpu.ops import geometry
+from sqtpu.ops.image import nearest_resize
+from sqtpu.ops.losses import _as_bhw
+
+
+def implicit_loss_gridsharded(
+    img: jax.Array,
+    p: jax.Array,
+    mesh: Mesh,
+    render_size: int = 64,
+    tau: float = 1.5,
+    sharpness: float = 260.0,
+) -> jax.Array:
+    """Implicit loss with image columns / grid x-axis sharded over 'grid'
+    and the batch sharded over 'data'. Numerically identical to
+    :func:`sqtpu.ops.losses.implicit_loss`.
+    """
+    n = render_size
+    n_grid = mesh.shape["grid"]
+    assert n % n_grid == 0, "render_size must divide the grid axis"
+    shard = n // n_grid
+
+    img_small = nearest_resize(_as_bhw(img).astype(p.dtype), (n, n))
+    tau = jnp.asarray(tau, p.dtype)
+    sharp = jnp.asarray(sharpness, p.dtype)
+
+    def local(img_cols, p_local):
+        # img_cols: (b_local, n, shard); p_local: (b_local, 12)
+        gi = jax.lax.axis_index("grid")
+        ax = geometry.make_axis(n, "implicit", dtype=p_local.dtype)
+        ax_x = jax.lax.dynamic_slice_in_dim(ax, gi * shard, shard)
+
+        def one(pi):
+            pp = geometry.clamp_params(pi)
+            f = geometry.field_grid(ax_x, ax, ax, pp, guard=True)
+            occ = jax.nn.sigmoid(sharp * (1.0 - f))
+            cum = jnp.cumsum(jnp.flip(occ, axis=-1), axis=-1)
+            depth = 1.0 - jnp.sum(jnp.exp(-tau * cum), axis=-1) / n
+            return jnp.flip(depth.T, axis=0)  # (n rows, shard cols)
+
+        d = jax.vmap(one)(p_local)
+        partial_l1 = jnp.sum(jnp.abs(img_cols - d), axis=(1, 2))  # (b_local,)
+        return jax.lax.psum(partial_l1, "grid") / (n * n)
+
+    per_sample = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data", None, "grid"), P("data")),
+        out_specs=P("data"),
+    )(img_small, p)
+    return jnp.mean(per_sample)

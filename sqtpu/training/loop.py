@@ -1,0 +1,309 @@
+"""The training loop (reference L6, ``torch/train.py:72-175``) — TPU-first.
+
+Differences from the reference by design:
+
+* One jitted train step contains forward, loss (voxel render included),
+  backward, and the optimizer update — nothing crosses the host boundary
+  per step except the scalar loss for logging.
+* Training data lives ON DEVICE: either a resident synthetic dataset
+  rendered once at startup by the on-device ray-caster
+  (``data="synthetic"``), per-step in-graph rendering (``data="online"``),
+  or a host BMP directory (reference-dataset parity path).
+* Batch axis is sharded over the mesh's 'data' axis; XLA inserts the
+  gradient all-reduce (the DP story, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqtpu.data.synthetic import make_batch, sample_params
+from sqtpu.models import build_model, params_vector
+from sqtpu.ops import losses, metrics
+from sqtpu.parallel.mesh import batch_sharding, make_mesh
+from sqtpu.training.lr import ReduceLROnPlateau
+from sqtpu.training.state import (
+    SQTrainState, create_train_state, get_lr, set_lr,
+)
+from sqtpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from sqtpu.utils.config import TrainConfig
+from sqtpu.utils.logging import MetricLogger, NanGuard, Throughput
+
+
+def _pred_vector(outputs):
+    return params_vector(outputs) if isinstance(outputs, tuple) else outputs
+
+
+def _compute_loss(cfg: TrainConfig, pred, imgs, labels):
+    """Loss selection (reference's commented-out alternatives,
+    ``torch/train.py:62-64``, promoted to config)."""
+    if cfg.loss == "implicit":
+        if cfg.use_pallas:
+            from sqtpu.ops.kernels import implicit_loss_auto
+            return implicit_loss_auto(
+                imgs[..., 0], pred, cfg.render_size, cfg.tau,
+                cfg.sigmoid_sharpness)
+        return losses.implicit_loss(
+            imgs[..., 0], pred, cfg.render_size, cfg.tau,
+            cfg.sigmoid_sharpness)
+    if cfg.loss == "explicit":
+        return losses.explicit_loss(labels, pred, cfg.render_size)
+    if cfg.loss == "leastsquares":
+        return losses.least_squares_loss(imgs[..., 0], pred, cfg.render_size)
+    if cfg.loss == "param_mse":
+        return losses.param_mse(pred, labels[..., : pred.shape[-1]])
+    raise ValueError(f"unknown loss {cfg.loss}")
+
+
+def make_train_step(model, cfg: TrainConfig, mesh=None):
+    """Build the jitted train step: fwd + loss + bwd + Adam update."""
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def loss_fn(params, batch_stats, imgs, labels):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        outputs, mutated = model.apply(variables, imgs, train=True,
+                                       mutable=mutable)
+        pred = _pred_vector(outputs)
+        loss = _compute_loss(cfg, pred, imgs, labels)
+        new_stats = mutated.get("batch_stats") if mutable else None
+        return loss, new_stats
+
+    donate = (0,) if cfg.donate else ()
+
+    @partial(jax.jit, donate_argnums=donate)
+    def step(state: SQTrainState, imgs, labels):
+        if sharding is not None:
+            imgs = jax.lax.with_sharding_constraint(imgs, sharding)
+            labels = jax.lax.with_sharding_constraint(labels, sharding)
+        imgs = imgs.astype(jnp.float32)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, imgs, labels)
+        new_state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            new_state = new_state.replace(batch_stats=new_stats)
+        return new_state, loss
+
+    return step
+
+
+def make_eval_step(model, cfg: TrainConfig, mesh=None):
+    """Validation: loss + IoU accuracy (``torch/train.py:135-154``)."""
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    @jax.jit
+    def step(state: SQTrainState, imgs, labels):
+        if sharding is not None:
+            imgs = jax.lax.with_sharding_constraint(imgs, sharding)
+            labels = jax.lax.with_sharding_constraint(labels, sharding)
+        imgs = imgs.astype(jnp.float32)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        outputs = model.apply(variables, imgs, train=False)
+        pred = _pred_vector(outputs)
+        loss = _compute_loss(cfg, pred, imgs, labels)
+        if pred.shape[-1] == 12:
+            acc = metrics.iou(labels, pred, cfg.acc_render_size)
+        else:
+            acc = -losses.param_mae(pred, labels[..., : pred.shape[-1]])
+        return loss, acc, pred
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Data sources
+# ---------------------------------------------------------------------------
+
+class SyntheticResident:
+    """Device-resident synthetic dataset rendered once at startup.
+
+    Mirrors the reference's fixed pre-rendered dataset regime (150k
+    scanner BMPs packed to HDF5) with zero disk or host involvement:
+    images stay in HBM as uint8, batches are gathered on device.
+    """
+
+    def __init__(self, cfg: TrainConfig, size: int, seed: int = 0,
+                 chunk: int = 256):
+        self.cfg = cfg
+        self.size = size
+        key = jax.random.PRNGKey(seed)
+
+        @partial(jax.jit, static_argnames=())
+        def gen_chunk(k):
+            imgs, labels = make_batch(
+                k, chunk, cfg.image_size, cfg.renderer, iso=False
+            )
+            return (imgs[..., 0] * 255.0).astype(jnp.uint8), labels
+
+        img_chunks, lbl_chunks = [], []
+        for i in range(0, size, chunk):
+            k = jax.random.fold_in(key, i)
+            im, lb = gen_chunk(k)
+            img_chunks.append(im)
+            lbl_chunks.append(lb)
+        self.images = jnp.concatenate(img_chunks)[:size]   # (N, S, S) uint8
+        self.labels = jnp.concatenate(lbl_chunks)[:size]   # (N, 12)
+        n_train = int(cfg.train_split * size)
+        self.n_train, self.n_val = n_train, size - n_train
+
+        @jax.jit
+        def gather(key, lo, n):
+            idx = jax.random.randint(key, (cfg.batch_size,), lo, lo + n)
+            imgs = self.images[idx].astype(jnp.float32) / 255.0
+            return imgs[..., None], self.labels[idx]
+
+        self._gather = gather
+
+    def train_batch(self, key):
+        return self._gather(key, 0, self.n_train)
+
+    def val_batch(self, key):
+        return self._gather(key, self.n_train, max(self.n_val, 1))
+
+
+# ---------------------------------------------------------------------------
+# The loop
+# ---------------------------------------------------------------------------
+
+def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
+    """Run training per config; returns (state, history)."""
+    logger = MetricLogger(cfg.ckpt_dir or "", "train")
+    nan_guard = NanGuard(cfg.nan_policy)
+    mesh = make_mesh(n_grid=cfg.n_grid)
+
+    model = build_model(cfg.model)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    state = create_train_state(model, init_key, cfg)
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(state.params))
+    MetricLogger.line(f"model={cfg.model} params={n_params:,} "
+                      f"loss={cfg.loss} mesh={dict(mesh.shape)}")
+
+    train_step = make_train_step(model, cfg, mesh)
+    eval_step = make_eval_step(model, cfg, mesh)
+
+    # ----- data
+    if cfg.data == "synthetic":
+        size = synthetic_size or max(cfg.batch_size * cfg.steps_per_epoch // 4,
+                                     cfg.batch_size * 4)
+        MetricLogger.line(f"rendering {size} synthetic depth maps on device…")
+        dataset = SyntheticResident(cfg, size, cfg.seed)
+        host_dataset = None
+    elif cfg.data == "online":
+        dataset = None
+        host_dataset = None
+    else:
+        from sqtpu.data.datasets import DepthDataset
+        from sqtpu.data.labels import parse_csv_torch
+        labels = parse_csv_torch(cfg.labels_csv)
+        host_dataset = DepthDataset(cfg.data, labels, cfg.train_split)
+        dataset = None
+
+    @partial(jax.jit, static_argnames=())
+    def online_batch(k):
+        return make_batch(k, cfg.batch_size, cfg.image_size, cfg.renderer)
+
+    def train_batches(epoch_key):
+        if host_dataset is not None:
+            yield from host_dataset.batches(
+                host_dataset.train_indices, cfg.batch_size,
+                shuffle=cfg.shuffle, seed=cfg.seed)
+            return
+        for s in range(cfg.steps_per_epoch):
+            k = jax.random.fold_in(epoch_key, s)
+            yield (dataset.train_batch(k) if dataset is not None
+                   else online_batch(k))
+
+    def val_batches(epoch_key):
+        if host_dataset is not None:
+            yield from host_dataset.batches(
+                host_dataset.val_indices, cfg.batch_size)
+            return
+        for s in range(cfg.val_steps):
+            k = jax.random.fold_in(epoch_key, 10_000 + s)
+            yield (dataset.val_batch(k) if dataset is not None
+                   else online_batch(k))
+
+    # ----- resume
+    history = {"loss": [], "val_loss": [], "val_acc": []}
+    start_epoch = 0
+    ckpt_path = os.path.join(cfg.ckpt_dir, "best")
+    if cfg.continue_training and os.path.exists(os.path.abspath(ckpt_path)):
+        MetricLogger.line("Continuing with training…")
+        tree, history, start_epoch = load_checkpoint(ckpt_path, state)
+        state = tree
+        history = {k: list(v) for k, v in history.items()} or history
+
+    scheduler = ReduceLROnPlateau(get_lr(state), cfg.plateau_patience,
+                                  cfg.plateau_factor)
+    best_val = min(history["val_loss"]) if history.get("val_loss") else None
+    meter = Throughput()
+
+    profile_ctx = None
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+        profile_ctx = cfg.profile_dir
+
+    for epoch in range(start_epoch, cfg.max_epochs):
+        key, epoch_key, val_key = jax.random.split(key, 3)
+        epoch_losses = []
+        meter.reset()
+        for step_idx, (imgs, labels) in enumerate(train_batches(epoch_key)):
+            state, loss = train_step(state, imgs, labels)
+            loss_val = float(loss)
+            if not nan_guard.check(loss_val):
+                continue
+            epoch_losses.append(loss_val)
+            meter.update(int(imgs.shape[0]))
+            if step_idx % cfg.log_interval == 0:
+                MetricLogger.progress(
+                    f"Train Epoch: {epoch} Step: {step_idx} "
+                    f"Loss: {np.mean(epoch_losses[-100:]):.6f} "
+                    f"({meter.rate:.0f} imgs/s)")
+        train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        history["loss"].append(train_loss)
+
+        val_losses, val_accs = [], []
+        for imgs, labels in val_batches(val_key):
+            l, a, _ = eval_step(state, imgs, labels)
+            val_losses.append(float(l))
+            val_accs.append(float(a))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        val_acc = float(np.mean(val_accs)) if val_accs else float("nan")
+        history["val_loss"].append(val_loss)
+        history["val_acc"].append(val_acc)
+
+        new_lr = scheduler.step(val_loss)
+        if new_lr != get_lr(state):
+            MetricLogger.line(f"Reducing learning rate to {new_lr:g}")
+            state = set_lr(state, new_lr)
+
+        if cfg.ckpt_dir and (best_val is None or val_loss < best_val):
+            best_val = val_loss
+            save_checkpoint(ckpt_path, state, history, epoch)
+            saved = " [saved]"
+        else:
+            saved = ""
+        MetricLogger.line(
+            f"Epoch {epoch}: loss {train_loss:.6f}  val_loss {val_loss:.6f} "
+            f"val_acc {val_acc:.6f}  {meter.rate:.0f} imgs/s{saved}")
+        logger.log(epoch=epoch, loss=train_loss, val_loss=val_loss,
+                   val_acc=val_acc, lr=get_lr(state),
+                   imgs_per_sec=meter.rate)
+
+    if profile_ctx:
+        jax.profiler.stop_trace()
+    return state, history

@@ -1,0 +1,106 @@
+"""Config dataclasses + CLI parsing.
+
+The reference has no config system: every knob is a hardcoded constant at
+the top of each entry script (``torch/train.py:38-45,62-66``; SURVEY.md
+§5.6). Here each entry point owns one dataclass, every field overridable
+from the command line (``--field value``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class TrainConfig:
+    # model / loss (reference: train.py:48, 62-66)
+    model: str = "resnet_sq"          # resnet_sq | generic_sq | keras_iso | keras_rot
+    loss: str = "implicit"            # implicit | explicit | leastsquares | param_mse
+    render_size: int = 64
+    tau: float = 1.5
+    sigmoid_sharpness: float = 260.0
+    acc_render_size: int = 64         # IoU validation metric grid
+
+    # optimization (train.py:40, 51-52)
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    batch_size: int = 32
+    max_epochs: int = 100
+    steps_per_epoch: int = 100        # synthetic data is infinite; define epoch
+    val_steps: int = 10
+    plateau_patience: int = 25
+    plateau_factor: float = 0.1
+    seed: int = 0
+
+    # data
+    data: str = "synthetic"           # synthetic | <path to BMP dir>
+    labels_csv: str = ""              # CSV for directory datasets
+    image_size: int = 256
+    renderer: str = "hard"            # on-device GT renderer for synthetic
+    train_split: float = 0.9
+    shuffle: bool = True
+
+    # precision / parallelism
+    dtype: str = "float32"
+    n_grid: int = 1                   # mesh grid-axis size (SP over voxels)
+    donate: bool = True
+    platform: str = ""                # override jax platform (e.g. "cpu")
+
+    # checkpoint / logging (train.py:38, 45)
+    ckpt_dir: str = "checkpoints/run0"
+    continue_training: bool = False
+    log_interval: int = 10
+    nan_policy: str = "warn"          # warn | skip
+    profile_dir: str = ""             # set to emit a jax.profiler trace
+
+    # kernels
+    use_pallas: bool = True           # fused implicit-loss kernel on TPU
+
+
+@dataclass
+class EvalConfig:
+    ckpt_dir: str = "checkpoints/run0"
+    model: str = "resnet_sq"
+    n: int = 1000
+    batch_size: int = 32
+    acc_render_size: int = 128        # test_random.py:25
+    seed: int = 0
+    image_size: int = 256
+    results_file: str = "results.txt"
+    save_pairs: int = 0               # save N true/pred image pairs
+    out_dir: str = "eval_out"
+    platform: str = ""                # override jax platform (e.g. "cpu")
+
+
+@dataclass
+class FitConfig:
+    loss: str = "explicit"            # explicit | implicit | leastsquares
+    render_size: int = 32
+    learning_rate: float = 1e-3
+    steps: int = 2000
+    seed: int = 0
+    tau: float = 1.5
+    sigmoid_sharpness: float = 260.0
+    optimizer: str = "sgd"            # sgd (visu.py parity) | adam | lm
+    log_interval: int = 100
+    platform: str = ""                # override jax platform (e.g. "cpu")
+
+
+def parse_cli(cls, argv: Optional[list] = None):
+    """Build an argparse CLI from a config dataclass."""
+    parser = argparse.ArgumentParser(
+        description=f"sqtpu {cls.__name__}",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    for f in dataclasses.fields(cls):
+        arg = "--" + f.name.replace("_", "-")
+        if f.type in ("bool", bool):
+            parser.add_argument(arg, type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=f.default)
+        else:
+            parser.add_argument(arg, type=type(f.default), default=f.default)
+    ns = parser.parse_args(argv)
+    return cls(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(cls)})

@@ -1,0 +1,149 @@
+"""Visualization & loss-landscape diagnostics (reference L0).
+
+Host-side equivalents of the reference's diagnostics, matplotlib-gated
+(no open3d / cv2 dependency):
+
+* :func:`slerp_sweep` — the loss & IoU vs rotation-angle experiment from
+  the commented-out block in ``torch/classes.py:478-608`` (quaternion
+  slerp between two orientations, evaluate any loss + IoU at each step),
+  fully vmapped.
+* :func:`depth_grid` — true/pred depth-image pairs side by side
+  (``helpers.py:71-100`` compare_images, sans cv2 windows).
+* :func:`voxel_scatter` — the occupancy scatter of ``plot_render``
+  (``helpers.py:108-173``).
+* :func:`plot_grad_flow` — per-layer gradient magnitudes
+  (``helpers.py:242-268``) for a Flax param/grad tree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqtpu.ops import geometry, losses, metrics
+from sqtpu.ops import quaternion as quat
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+    return plt
+
+
+def slerp_sweep(
+    base_params: jax.Array,
+    q_start: jax.Array,
+    q_end: jax.Array,
+    loss_name: str = "explicit",
+    n: int = 200,
+    render_size: int = 32,
+    out_png: str | None = None,
+):
+    """Sweep pred quaternion along slerp(q_start→q_end), measuring the
+    loss and IoU against fixed true params. Returns (angles_rad, losses,
+    ious); optionally saves the twin-axis plot of ``classes.py:584-602``.
+    """
+    t = jnp.linspace(0.0, 1.0, n, dtype=base_params.dtype)
+    qs = quat.slerp(q_start, q_end, t)  # (n, 4)
+    true_p = base_params[None]
+    q_true = base_params[8:12]
+
+    def eval_one(qi):
+        pred = base_params.at[8:12].set(qi)[None]
+        if loss_name == "explicit":
+            l = losses.explicit_loss(true_p, pred, render_size)
+        elif loss_name == "implicit":
+            from sqtpu.ops.render import render_depth_soft
+            img = render_depth_soft(base_params, render_size)[None]
+            l = losses.implicit_loss(img, pred, render_size)
+        elif loss_name == "quaternion":
+            l = losses.quaternion_loss(qi[None], q_true[None])
+        else:
+            raise ValueError(loss_name)
+        iou = metrics.iou(true_p, pred, render_size)
+        ang = metrics.angle_error(q_true[None], qi[None])[0]
+        return l, iou, ang
+
+    ls, ious, angs = jax.lax.map(eval_one, qs)
+    ls, ious, angs = map(np.asarray, (ls, ious, angs))
+
+    if out_png:
+        plt = _plt()
+        fig, ax1 = plt.subplots()
+        ax1.set_xlabel("Angle (deg)")
+        ax1.set_ylabel("Loss", color="tab:red")
+        ax1.plot(np.rad2deg(angs), ls, color="tab:red")
+        ax2 = ax1.twinx()
+        ax2.set_ylabel("Accuracy", color="tab:blue")
+        ax2.plot(np.rad2deg(angs), ious, color="tab:blue")
+        fig.tight_layout()
+        fig.savefig(out_png, dpi=120)
+        plt.close(fig)
+    return angs, ls, ious
+
+
+def depth_grid(true_imgs, pred_imgs, out_png: str, max_n: int = 8):
+    """Side-by-side true|pred depth pairs, one row per sample."""
+    plt = _plt()
+    n = min(len(true_imgs), max_n)
+    fig, axes = plt.subplots(n, 2, figsize=(6, 3 * n), squeeze=False)
+    for i in range(n):
+        axes[i][0].imshow(np.asarray(true_imgs[i]), cmap="gray",
+                          vmin=0, vmax=1)
+        axes[i][0].set_title("true")
+        axes[i][1].imshow(np.asarray(pred_imgs[i]), cmap="gray",
+                          vmin=0, vmax=1)
+        axes[i][1].set_title("pred")
+        for ax in axes[i]:
+            ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=100)
+    plt.close(fig)
+
+
+def voxel_scatter(p: jax.Array, out_png: str, n: int = 24,
+                  mode: str = "in"):
+    """3-D scatter of the inside voxels (plot_render 'in' mode)."""
+    plt = _plt()
+    ax1d = geometry.make_axis(n, "iou", dtype=p.dtype)
+    f = np.asarray(geometry.field_grid(ax1d, ax1d, ax1d, p, guard=False))
+    g = np.meshgrid(np.asarray(ax1d), np.asarray(ax1d), np.asarray(ax1d),
+                    indexing="ij")
+    mask = f <= 1 if mode in ("in", "bit") else f >= 0
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(g[0][mask], g[1][mask], g[2][mask], c=f[mask], cmap="jet",
+               marker="o", s=4)
+    ax.set(xlim=(0, 1), ylim=(0, 1), zlim=(0, 1))
+    fig.savefig(out_png, dpi=100)
+    plt.close(fig)
+
+
+def plot_grad_flow(grads, out_png: str):
+    """Mean/max |grad| per layer for a Flax grad tree
+    (``helpers.py:242-268`` equivalent)."""
+    plt = _plt()
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    names, means, maxs = [], [], []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "bias" in name:
+            continue
+        a = np.abs(np.asarray(leaf))
+        names.append(name)
+        means.append(a.mean())
+        maxs.append(a.max())
+    fig, ax = plt.subplots(figsize=(max(6, len(names) * 0.3), 4))
+    ax.bar(range(len(maxs)), maxs, alpha=0.3, color="c", label="max")
+    ax.bar(range(len(means)), means, alpha=0.5, color="b", label="mean")
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation="vertical", fontsize=5)
+    ax.set_ylabel("|gradient|")
+    ax.set_yscale("log")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return names, means, maxs

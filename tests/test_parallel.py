@@ -1,0 +1,60 @@
+"""Sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqtpu.ops import losses
+from sqtpu.ops import quaternion as quat
+from sqtpu.ops.render import render_depth_soft
+from sqtpu.parallel.mesh import batch_sharding, make_mesh
+from sqtpu.parallel.sharded_losses import implicit_loss_gridsharded
+
+
+@pytest.fixture(scope="module")
+def batch():
+    key = jax.random.PRNGKey(11)
+    ka, ke, kt, kq = jax.random.split(key, 4)
+    b = 8
+    a = jax.random.uniform(ka, (b, 3), jnp.float64, 25 / 255, 75 / 255)
+    e = jax.random.uniform(ke, (b, 2), jnp.float64, 0.1, 1.0)
+    t = jax.random.uniform(kt, (b, 3), jnp.float64, 88 / 255, 168 / 255)
+    q = quat.random_uniform(kq, (b,), jnp.float64)
+    p = jnp.concatenate([a, e, t, q], axis=-1)
+    imgs = jax.vmap(lambda pi: render_depth_soft(pi, 32, 1.5, 260.0))(
+        jnp.roll(p, 1, axis=0))
+    return imgs, p
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_data,n_grid", [(4, 2), (2, 4), (8, 1), (1, 8)])
+def test_gridsharded_implicit_matches_unsharded(batch, n_data, n_grid):
+    """DP x SP sharded loss must be numerically identical to the plain
+    single-device implementation."""
+    imgs, p = batch
+    mesh = make_mesh(n_data=n_data, n_grid=n_grid)
+    want = float(losses.implicit_loss(imgs, p, 32, 1.5, 260.0))
+    got = float(implicit_loss_gridsharded(imgs, p, mesh, 32, 1.5, 260.0))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_gridsharded_gradients_match(batch):
+    imgs, p = batch
+    mesh = make_mesh(n_data=2, n_grid=4)
+    g_ref = jax.grad(lambda pp: losses.implicit_loss(imgs, pp, 32))(p)
+    g_shd = jax.grad(
+        lambda pp: implicit_loss_gridsharded(imgs, pp, mesh, 32))(p)
+    np.testing.assert_allclose(np.asarray(g_shd), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_batch_sharding_spreads_data(batch):
+    imgs, p = batch
+    mesh = make_mesh(n_data=8, n_grid=1)
+    sharded = jax.device_put(imgs, batch_sharding(mesh))
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(imgs))

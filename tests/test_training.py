@@ -1,0 +1,144 @@
+"""Training-layer tests: scheduler, state, checkpointing, one real step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqtpu.models import ResNetSQ
+from sqtpu.training.loop import make_eval_step, make_train_step
+from sqtpu.training.lr import ReduceLROnPlateau, step_schedule_2019
+from sqtpu.training.state import create_train_state, get_lr, set_lr
+from sqtpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from sqtpu.utils.config import TrainConfig
+
+
+class TestReduceLROnPlateau:
+    def test_reduces_after_patience(self):
+        s = ReduceLROnPlateau(lr=1e-4, patience=2, factor=0.1)
+        assert s.step(1.0) == 1e-4        # first: becomes best
+        assert s.step(1.0) == 1e-4        # bad 1
+        assert s.step(1.0) == 1e-4        # bad 2
+        assert s.step(1.0) == pytest.approx(1e-5)  # bad 3 > patience: reduce
+
+    def test_improvement_resets(self):
+        s = ReduceLROnPlateau(lr=1e-4, patience=1)
+        s.step(1.0)
+        s.step(1.0)
+        assert s.step(0.5) == 1e-4        # improvement: no reduction
+        assert s.bad_epochs == 0
+
+    def test_relative_threshold(self):
+        s = ReduceLROnPlateau(lr=1e-3, patience=0, threshold=1e-4)
+        s.step(1.0)
+        # an improvement smaller than 0.01% counts as a plateau
+        assert s.step(0.99999) == pytest.approx(1e-4)
+
+
+def test_step_schedule_2019():
+    assert step_schedule_2019(0) == 1e-3
+    assert step_schedule_2019(249) == 1e-3
+    assert step_schedule_2019(250) == 1e-4
+    assert step_schedule_2019(500) == 1e-5
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = TrainConfig(image_size=32, render_size=8, acc_render_size=16,
+                      batch_size=2, use_pallas=False, donate=False)
+    model = ResNetSQ()
+    state = create_train_state(model, jax.random.PRNGKey(0), cfg,
+                               input_shape=(1, 32, 32, 1))
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1),
+                              jnp.float32)
+    labels = jnp.tile(jnp.asarray(
+        [[0.2, 0.2, 0.2, 0.5, 0.5, 0.5, 0.5, 0.5, 0, 0, 0, 1]],
+        jnp.float32), (2, 1))
+    return cfg, model, state, imgs, labels
+
+
+def test_lr_get_set(tiny_setup):
+    _, _, state, _, _ = tiny_setup
+    assert get_lr(state) == pytest.approx(1e-4)
+    state2 = set_lr(state, 1e-5)
+    assert get_lr(state2) == pytest.approx(1e-5)
+
+
+def test_train_step_updates_params_and_stats(tiny_setup):
+    cfg, model, state, imgs, labels = tiny_setup
+    step = make_train_step(model, cfg, mesh=None)
+    new_state, loss = step(state, imgs, labels)
+    assert np.isfinite(float(loss))
+    # params moved
+    before = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    after = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    assert not np.allclose(before, after)
+    # bn stats moved
+    b = np.asarray(state.batch_stats["encoder"]["bn1"]["mean"])
+    a = np.asarray(new_state.batch_stats["encoder"]["bn1"]["mean"])
+    assert not np.allclose(b, a)
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_train_step_loss_decreases_over_steps(tiny_setup):
+    cfg, model, state, imgs, labels = tiny_setup
+    step = make_train_step(model, cfg, mesh=None)
+    first = None
+    for _ in range(8):
+        state, loss = step(state, imgs, labels)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
+def test_eval_step(tiny_setup):
+    cfg, model, state, imgs, labels = tiny_setup
+    estep = make_eval_step(model, cfg, mesh=None)
+    loss, acc, pred = estep(state, imgs, labels)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(acc) <= 1.0
+    assert pred.shape == (2, 12)
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    cfg, model, state, imgs, labels = tiny_setup
+    step = make_train_step(model, cfg, mesh=None)
+    state, _ = step(state, imgs, labels)
+    history = {"loss": [0.5, 0.4], "val_loss": [0.6], "val_acc": [0.1]}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, history, epoch=7)
+
+    fresh = create_train_state(model, jax.random.PRNGKey(42), cfg,
+                               input_shape=(1, 32, 32, 1))
+    restored, hist, epoch = load_checkpoint(path, fresh)
+    assert epoch == 7
+    assert hist["loss"] == [0.5, 0.4]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+
+def test_synthetic_batch_shapes():
+    from sqtpu.data.synthetic import make_batch, sample_params
+
+    imgs, labels = make_batch(jax.random.PRNGKey(0), 4, 32, "hard")
+    assert imgs.shape == (4, 32, 32, 1)
+    assert labels.shape == (4, 12)
+    a = np.asarray(imgs)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    assert a.max() > 0.1  # objects actually rendered
+
+    p = np.asarray(sample_params(jax.random.PRNGKey(1), 256,
+                                 dtype=jnp.float64))
+    assert p[:, 0:3].min() >= 25 / 255 and p[:, 0:3].max() <= 75 / 255
+    assert p[:, 3:5].min() >= 0.1 and p[:, 3:5].max() <= 1.0
+    assert p[:, 5:8].min() >= 88 / 255 and p[:, 5:8].max() <= 168 / 255
+    np.testing.assert_allclose(np.linalg.norm(p[:, 8:12], axis=-1), 1.0,
+                               atol=1e-6)
+
+    imgs_iso, labels_iso = make_batch(jax.random.PRNGKey(2), 2, 32, "hard",
+                                      iso=True)
+    np.testing.assert_allclose(
+        np.asarray(labels_iso[:, 8:12]),
+        np.tile(np.array([1, 1, 1, 0]) / np.sqrt(3), (2, 1)), atol=1e-6)
