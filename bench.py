@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 256
-WARMUP = 3
-ITERS = 20
+ITERS = 10
 BASELINE_PER_CHIP = 2500.0  # north-star v5e-8 target / 8 chips
 
 
@@ -35,9 +34,12 @@ def main():
     from sqtpu.utils.config import TrainConfig
 
     n_chips = len(jax.devices())
-    cfg = TrainConfig(batch_size=BATCH, render_size=64, loss="implicit")
+    # the shipping performance config: bf16 encoder compute (fp32 params),
+    # fp32 fused Pallas implicit loss (use_pallas default)
+    cfg = TrainConfig(batch_size=BATCH, render_size=64, loss="implicit",
+                      dtype="bfloat16")
     mesh = make_mesh()
-    model = ResNetSQ()
+    model = ResNetSQ(dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0), cfg)
     step = make_train_step(model, cfg, mesh)
 
@@ -50,17 +52,18 @@ def main():
     # Chain ITERS steps inside one jit and fetch the final loss to host:
     # a single dispatch + hard device->host sync. (block_until_ready is
     # not a reliable fence through the axon tunnel — measured 50x fast.)
-    def one(s, _):
-        s, l = step(s, imgs, labels)
-        return s, l
-
+    # The same jitted program serves as its own warmup so the slow
+    # remote compile happens exactly once.
     @jax.jit
     def run_n(s):
-        return jax.lax.scan(lambda c, x: one(c, x), s, None, length=ITERS)
+        def body(c, _):
+            c, l = step(c, s_imgs, s_labels)
+            return c, l
+        return jax.lax.scan(body, s, None, length=ITERS)
 
-    for _ in range(WARMUP):
-        state, loss = step(state, imgs, labels)
-    _ = float(loss)  # hard sync
+    s_imgs, s_labels = imgs, labels
+    state, losses_hist = run_n(state)          # compile + warm run
+    _ = float(losses_hist[-1])                 # hard sync
 
     t0 = time.perf_counter()
     state, losses_hist = run_n(state)

@@ -100,11 +100,16 @@ def eval_random(cfg: EvalConfig):
     f = open(os.path.join(cfg.out_dir, cfg.results_file), "a")
     n_batches = (cfg.n + cfg.batch_size - 1) // cfg.batch_size
     pairs_saved = 0
+    latencies = []  # per-image inference latency (py/test_isometry.py:47-52)
+    import time
     for b in range(n_batches):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), b)
+        t0 = time.perf_counter()
         p_true, p_pred, triple, mae, imgs = batch_eval(key)
         p_true, p_pred = np.asarray(p_true), np.asarray(p_pred)
         triple, mae = np.asarray(triple), np.asarray(mae)
+        if b > 0:  # skip compile step, like the reference (num_img > 0)
+            latencies.append((time.perf_counter() - t0) / cfg.batch_size)
         all_triples.append(triple)
         all_mae.append(mae)
         for i in range(triple.shape[0]):
@@ -141,6 +146,9 @@ def eval_random(cfg: EvalConfig):
     print("Mean: ", ang.mean())
     print("--Param MAE (12)::")
     print(maes.mean(axis=0))
+    if latencies:
+        print(f"--Per-image latency (render+predict+score): "
+              f"{1e3 * float(np.mean(latencies)):.3f} ms")
     np.savez(os.path.join(cfg.out_dir, "accs.npz"),
              rot_iou=rot_iou, full_iou=full_iou, angle=ang, mae=maes)
     return {"rot_iou_mean": float(rot_iou.mean()),

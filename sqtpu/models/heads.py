@@ -12,6 +12,7 @@ Each head optionally inserts a hidden dense layer (the reference's
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -59,11 +60,14 @@ class RotationHead(_Head):
     @nn.compact
     def __call__(self, x):
         q = self._trunk(x)
-        # eps guard: the reference divides by the raw norm (models.py:28),
-        # which NaNs on an exactly-zero logit vector (e.g. zero-init bias
-        # with zero features). Guarded here; identical for any nonzero q.
-        n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-        return q / jnp.maximum(n, jnp.asarray(1e-12, q.dtype))
+        # The reference divides by the raw norm (models.py:28), which NaNs
+        # in BOTH value and gradient on an exactly-zero logit vector (an
+        # untrained encoder can emit exact zeros). Clamping the norm AFTER
+        # computing it still NaNs the backward (norm's vjp at 0 is 0/0),
+        # so clamp the sum of squares BEFORE the sqrt: identical to
+        # q/||q|| whenever ||q|| > 1e-3, finite value and gradient at 0.
+        sumsq = jnp.sum(q * q, axis=-1, keepdims=True)
+        return q * jax.lax.rsqrt(jnp.maximum(sumsq, jnp.asarray(1e-6, q.dtype)))
 
 
 class BlockHead(_Head):

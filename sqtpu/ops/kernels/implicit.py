@@ -10,14 +10,18 @@ intermediates in HBM and lays the grid out with the 64-wide z axis on the
 128-lane dimension (half the VPU idle + a lane-wise cumsum). This kernel:
 
 * never materializes the voxel grid — coordinates come from iota;
+* packs TILE_B samples into each program so every plane op runs on a
+  (TILE_B·N²/128, 128) block — lanes fully packed, per-op overhead
+  amortized across samples (per-sample params are broadcast into planes
+  once, before the z loop);
 * processes the volume plane-by-plane along z with the transmittance
-  accumulated in VMEM registers (the z-cumsum becomes a sequential loop
-  carrying one (N²/128, 128) plane — fully lane-packed);
+  accumulated in VMEM (the z-cumsum becomes a sequential loop);
 * fuses the L1 reduction, so HBM traffic is params in, one scalar out;
-* implements the BACKWARD analytically in a second kernel (two z passes:
-  far→near storing the cumulative occupancy planes, near→far accumulating
-  the 17 parameter partials) instead of letting autodiff store N³
-  residuals.
+* implements the BACKWARD analytically with ZERO saved volume state:
+  pass 1 (far→near) produces the total transmittance sum; pass 2 sweeps
+  far→near again, recomputing the running suffix-occupancy S_j and
+  recovering the needed prefix sums as W_j = Tacc − (V − T_j). Autodiff
+  of the XLA lowering would instead save O(N³) residuals per sample.
 
 Parameterization: the kernel differentiates w.r.t. the *derived* frame
 (a(3), e(2), t_rot(3), R(9)) — 17 values; the tiny chains t_rot = R·t,
@@ -43,6 +47,7 @@ from sqtpu.ops.image import nearest_resize
 from sqtpu.ops.losses import _as_bhw
 
 LANES = 128
+N_PAR = 17
 _INTERPRET = os.environ.get("SQTPU_PALLAS_INTERPRET", "0") == "1"
 
 
@@ -50,12 +55,19 @@ def _supported(n: int) -> bool:
     return (n * n) % LANES == 0 and n >= 16
 
 
-def _plane_coords(n: int, rows: int):
-    """Lane-packed (rows, 128) x/y grid coordinates of the flattened
-    (x*n + y) plane, with the implicit grid's zero-nudge."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-    l = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    idx = r * LANES + l
+def _tile_b(batch: int) -> int:
+    for t in (8, 4, 2):
+        if batch % t == 0:
+            return t
+    return 1
+
+
+def _plane_coords(n: int, tile_rows: int, rows: int):
+    """Lane-packed (tile_rows, 128) x/y coordinates; each consecutive
+    ``rows``-row block is one sample's flattened (x*n + y) plane."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    idx = (r % rows) * LANES + l
     xi = idx // n
     yi = idx - xi * n
     inv = 1.0 / (n - 1)
@@ -65,20 +77,31 @@ def _plane_coords(n: int, rows: int):
 
 
 def _zval(j, n: int):
-    """Implicit-grid z coordinate of integer plane j (traced)."""
     inv = 1.0 / (n - 1)
     return jnp.where(j == 0, jnp.float32(1e-4), j.astype(jnp.float32) * inv)
 
 
-def _field_terms(par_ref, b, X, Y, z):
-    """Shared forward chain. Returns a dict of every term the backward
-    pass reuses. ``par_ref`` is the full (B, 24) SMEM scalar-prefetch
-    array; ``b`` the sample row (program id)."""
-    a1, a2, a3 = par_ref[b, 0], par_ref[b, 1], par_ref[b, 2]
-    e1, e2 = par_ref[b, 3], par_ref[b, 4]
-    t0, t1, t2 = par_ref[b, 5], par_ref[b, 6], par_ref[b, 7]
-    r = [par_ref[b, 8 + k] for k in range(9)]
+def _param_planes(par_ref, prog, tile_b: int, rows: int):
+    """Broadcast each sample's 17 frame scalars into (tile_rows, 128)
+    planes (once per program, loop-invariant over z)."""
+    tile_rows = tile_b * rows
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    sample = row // rows  # 0..tile_b-1
+    planes = []
+    for i in range(N_PAR):
+        acc = jnp.full((tile_rows, LANES), 0.0, jnp.float32)
+        for k in range(tile_b):
+            val = par_ref[prog * tile_b + k, i]
+            acc = jnp.where(sample == k, val, acc)
+        planes.append(acc)
+    return planes
 
+
+def _field_terms(pp, X, Y, z):
+    """Shared forward chain over packed planes. ``pp`` is the list of 17
+    broadcast param planes [a1,a2,a3,e1,e2,t0,t1,t2,r00..r22]."""
+    a1, a2, a3, e1, e2, t0, t1, t2 = pp[:8]
+    r = pp[8:17]
     u = (r[0] * X + r[1] * Y + r[2] * z - t0) / a1
     v = (r[3] * X + r[4] * Y + r[5] * z - t1) / a2
     w = (r[6] * X + r[7] * Y + r[8] * z - t2) / a3
@@ -114,58 +137,69 @@ def _occ(F, sharp):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n: int, tau: float, sharp: float, par_ref, img_ref, out_ref):
+def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
+                par_ref, img_ref, out_ref):
     rows = (n * n) // LANES
-    b = pl.program_id(0)
-    X, Y = _plane_coords(n, rows)
+    prog = pl.program_id(0)
+    X, Y = _plane_coords(n, tile_b * rows, rows)
+    pp = _param_planes(par_ref, prog, tile_b, rows)
 
     def body(jj, carry):
         S, Tacc = carry
         j = n - 1 - jj  # far -> near
         z = _zval(j, n)
-        F = _field_terms(par_ref, b, X, Y, z)["F"]
+        F = _field_terms(pp, X, Y, z)["F"]
         S = S + _occ(F, sharp)
         Tacc = Tacc + jnp.exp(-tau * S)
         return S, Tacc
 
-    zero = jnp.zeros((rows, LANES), jnp.float32)
+    zero = jnp.zeros((tile_b * rows, LANES), jnp.float32)
     _, Tacc = jax.lax.fori_loop(0, n, body, (zero, zero))
-    depth = 1.0 - Tacc / n
-    out_ref[b, 0] = jnp.sum(jnp.abs(img_ref[0] - depth))
+    diff = jnp.abs(img_ref[0] - (1.0 - Tacc / n))
+    for k in range(tile_b):
+        out_ref[prog * tile_b + k, 0] = jnp.sum(
+            diff[k * rows:(k + 1) * rows])
 
 
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(n: int, tau: float, sharp: float,
-                par_ref, g_ref, img_ref, dpar_ref, s_scr, acc_scr):
+def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
+                par_ref, g_ref, img_ref, dpar_ref, acc_scr):
     rows = (n * n) // LANES
-    b = pl.program_id(0)
-    X, Y = _plane_coords(n, rows)
-    a1, a2, a3 = par_ref[b, 0], par_ref[b, 1], par_ref[b, 2]
-    e1, e2 = par_ref[b, 3], par_ref[b, 4]
+    prog = pl.program_id(0)
+    tile_rows = tile_b * rows
+    X, Y = _plane_coords(n, tile_rows, rows)
+    pp = _param_planes(par_ref, prog, tile_b, rows)
+    a1, a2, a3, e1, e2 = pp[0], pp[1], pp[2], pp[3], pp[4]
 
-    # ---- pass 1 (far -> near): store suffix-occupancy planes S_j
+    # ---- pass 1 (far -> near): total transmittance sum Tacc
     def p1(jj, carry):
         S, Tacc = carry
-        j = n - 1 - jj
-        z = _zval(j, n)
-        F = _field_terms(par_ref, b, X, Y, z)["F"]
+        z = _zval(n - 1 - jj, n)
+        F = _field_terms(pp, X, Y, z)["F"]
         S = S + _occ(F, sharp)
-        s_scr[j] = S
-        Tacc = Tacc + jnp.exp(-tau * S)
-        return S, Tacc
+        return S, Tacc + jnp.exp(-tau * S)
 
-    zero = jnp.zeros((rows, LANES), jnp.float32)
+    zero = jnp.zeros((tile_rows, LANES), jnp.float32)
     _, Tacc = jax.lax.fori_loop(0, n, p1, (zero, zero))
     depth = 1.0 - Tacc / n
-    # d(sum|img - depth|)/d depth = sign(depth - img); upstream g scalar
-    phi = jnp.sign(depth - img_ref[0]) * g_ref[b] * (tau / n)
 
-    acc_scr[:] = jnp.zeros((17, rows, LANES), jnp.float32)
+    # upstream cotangent per sample, broadcast to its row block
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    sample = row // rows
+    g = jnp.full((tile_rows, LANES), 0.0, jnp.float32)
+    for k in range(tile_b):
+        g = jnp.where(sample == k, g_ref[prog * tile_b + k], g)
+    # d(sum|img - depth|)/d depth = sign(depth - img)
+    phi = jnp.sign(depth - img_ref[0]) * g * (tau / n)
 
-    # ---- pass 2 (near -> far): W_j = sum_{z'<=j} T_{z'}; chain to params
+    acc_scr[:] = jnp.zeros((N_PAR, tile_rows, LANES), jnp.float32)
+
+    # ---- pass 2 (far -> near again): recompute S_j and T_j on the fly;
+    # the prefix sum W_j = sum_{z'<=j} T is recovered as Tacc - (V - T_j)
+    # where V accumulates T over the planes visited so far (z' >= j).
     #
     # All F-derivative factors are products/ratios of exponentials whose
     # naive evaluation overflows fp32 far outside the occupancy shell
@@ -178,15 +212,19 @@ def _bwd_kernel(n: int, tau: float, sharp: float,
     def _ex(logterm):
         return jnp.exp(jnp.minimum(logterm, CLAMP))
 
-    def p2(j, W):
+    def p2(jj, carry):
+        S, V = carry
+        j = n - 1 - jj
         z = _zval(j, n)
-        T = _field_terms(par_ref, b, X, Y, z)
+        T = _field_terms(pp, X, Y, z)
         F = T["F"]
         lh, lg = T["lh"], T["lg"]
         lx, ly, lz = T["lx"], T["ly"], T["lz"]
-        S_j = s_scr[j]
-        W = W + jnp.exp(-tau * S_j)
         occ = _occ(F, sharp)
+        S = S + occ
+        Tj = jnp.exp(-tau * S)
+        V = V + Tj
+        W = Tacc - V + Tj
         # g wrt F at this plane: phi * W * docc/dF
         gF = phi * W * (-sharp) * occ * (1.0 - occ)
 
@@ -195,25 +233,22 @@ def _bwd_kernel(n: int, tau: float, sharp: float,
         dF_dy2 = _ex(lfh + (e2 / e1 - 1.0) * lg + (1.0 / e2 - 1.0) * ly)
         dF_dz2 = _ex(lfh + (1.0 / e1 - 1.0) * lz)
         u, v, w = T["u"], T["v"], T["w"]
-        # per-coordinate chains: gx = gF·dF/dx2·2u (then ·du/dtheta)
         gx = gF * dF_dx2 * 2.0 * u
         gy = gF * dF_dy2 * 2.0 * v
         gz = gF * dF_dz2 * 2.0 * w
 
-        # a: d u/d a1 = -u/a1  -> contribution -gx·u/a1 (same via x2)
+        # a: d u/d a1 = -u/a1
         acc_scr[0] += -gx * u / a1
         acc_scr[1] += -gy * v / a2
         acc_scr[2] += -gz * w / a3
-        # e1, e2 (each product F·lnH etc. in log space)
+        # e1, e2 (each F·lnH-style product assembled in log space)
         le = (e2 / e1) * lg                          # log E
-        de1 = gF * (_ex(e1 * lh) * lh
-                    - (_ex(lfh + le) * lg * e2
-                       + _ex(lfh + lz / e1) * lz) / e1)
-        de2 = gF * (_ex(lfh + le) * lg
-                    - (_ex(lfh + le - lg + lx / e2) * lx
-                       + _ex(lfh + le - lg + ly / e2) * ly) / e2)
-        acc_scr[3] += de1
-        acc_scr[4] += de2
+        acc_scr[3] += gF * (_ex(e1 * lh) * lh
+                            - (_ex(lfh + le) * lg * e2
+                               + _ex(lfh + lz / e1) * lz) / e1)
+        acc_scr[4] += gF * (_ex(lfh + le) * lg
+                            - (_ex(lfh + le - lg + lx / e2) * lx
+                               + _ex(lfh + le - lg + ly / e2) * ly) / e2)
         # t_rot: du/dt0 = -1/a1
         acc_scr[5] += -gx / a1
         acc_scr[6] += -gy / a2
@@ -228,14 +263,16 @@ def _bwd_kernel(n: int, tau: float, sharp: float,
         acc_scr[14] += gz * X / a3
         acc_scr[15] += gz * Y / a3
         acc_scr[16] += gz * z / a3
-        return W
+        return S, V
 
-    jax.lax.fori_loop(0, n, p2, zero)
+    jax.lax.fori_loop(0, n, p2, (zero, zero))
 
-    for i in range(17):
-        dpar_ref[b, i] = jnp.sum(acc_scr[i])
-    for i in range(17, 24):
-        dpar_ref[b, i] = 0.0
+    for k in range(tile_b):
+        for i in range(N_PAR):
+            dpar_ref[prog * tile_b + k, i] = jnp.sum(
+                acc_scr[i, k * rows:(k + 1) * rows])
+        for i in range(N_PAR, 24):
+            dpar_ref[prog * tile_b + k, i] = 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -244,46 +281,49 @@ def _bwd_kernel(n: int, tau: float, sharp: float,
 
 def _fwd_call(img_xy, par, n: int, tau: float, sharp: float):
     b = par.shape[0]
+    tile_b = _tile_b(b)
     rows = (n * n) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # par rides SMEM, full array, indexed by pid
-        grid=(b,),
+        grid=(b // tile_b,),
         in_specs=[
-            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1)
     )
+    img_tiles = img_xy.reshape(b // tile_b, tile_b * rows, LANES)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n, tau, sharp),
+        functools.partial(_fwd_kernel, n, tau, sharp, tile_b),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         interpret=_INTERPRET,
-    )(par, img_xy)[:, 0]
+    )(par, img_tiles)[:, 0]
 
 
 def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
     b = par.shape[0]
+    tile_b = _tile_b(b)
     rows = (n * n) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # par (B, 24) and upstream g (B,) in SMEM
-        grid=(b,),
+        grid=(b // tile_b,),
         in_specs=[
-            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 24)
         scratch_shapes=[
-            pltpu.VMEM((n, rows, LANES), jnp.float32),   # S planes
-            pltpu.VMEM((17, rows, LANES), jnp.float32),  # grad accumulators
+            pltpu.VMEM((N_PAR, tile_b * rows, LANES), jnp.float32),
         ],
     )
+    img_tiles = img_xy.reshape(b // tile_b, tile_b * rows, LANES)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n, tau, sharp),
+        functools.partial(_bwd_kernel, n, tau, sharp, tile_b),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 24), jnp.float32),
         interpret=_INTERPRET,
-    )(par, g, img_xy)
+    )(par, g, img_tiles)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -143,7 +143,7 @@ class SyntheticResident:
         @partial(jax.jit, static_argnames=())
         def gen_chunk(k):
             imgs, labels = make_batch(
-                k, chunk, cfg.image_size, cfg.renderer, iso=False
+                k, chunk, cfg.image_size, cfg.renderer, iso=cfg.iso
             )
             return (imgs[..., 0] * 255.0).astype(jnp.uint8), labels
 
@@ -183,7 +183,8 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
     nan_guard = NanGuard(cfg.nan_policy)
     mesh = make_mesh(n_grid=cfg.n_grid)
 
-    model = build_model(cfg.model)
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.dtype]
+    model = build_model(cfg.model, dtype=dtype)
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     state = create_train_state(model, init_key, cfg)
@@ -197,8 +198,9 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
 
     # ----- data
     if cfg.data == "synthetic":
-        size = synthetic_size or max(cfg.batch_size * cfg.steps_per_epoch // 4,
-                                     cfg.batch_size * 4)
+        size = (synthetic_size or cfg.synthetic_size
+                or max(cfg.batch_size * cfg.steps_per_epoch // 4,
+                       cfg.batch_size * 4))
         MetricLogger.line(f"rendering {size} synthetic depth maps on device…")
         dataset = SyntheticResident(cfg, size, cfg.seed)
         host_dataset = None
@@ -214,7 +216,8 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
 
     @partial(jax.jit, static_argnames=())
     def online_batch(k):
-        return make_batch(k, cfg.batch_size, cfg.image_size, cfg.renderer)
+        return make_batch(k, cfg.batch_size, cfg.image_size, cfg.renderer,
+                          iso=cfg.iso)
 
     def train_batches(epoch_key):
         if host_dataset is not None:
@@ -230,7 +233,8 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
     def val_batches(epoch_key):
         if host_dataset is not None:
             yield from host_dataset.batches(
-                host_dataset.val_indices, cfg.batch_size)
+                host_dataset.val_indices, cfg.batch_size,
+                drop_remainder=False)
             return
         for s in range(cfg.val_steps):
             k = jax.random.fold_in(epoch_key, 10_000 + s)
@@ -286,7 +290,11 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         history["val_loss"].append(val_loss)
         history["val_acc"].append(val_acc)
 
-        new_lr = scheduler.step(val_loss)
+        if cfg.lr_schedule == "step2019":
+            from sqtpu.training.lr import step_schedule_2019
+            new_lr = step_schedule_2019(epoch)
+        else:
+            new_lr = scheduler.step(val_loss)
         if new_lr != get_lr(state):
             MetricLogger.line(f"Reducing learning rate to {new_lr:g}")
             state = set_lr(state, new_lr)

@@ -36,12 +36,15 @@ class TrainConfig:
     seed: int = 0
 
     # data
-    data: str = "synthetic"           # synthetic | <path to BMP dir>
+    data: str = "synthetic"           # synthetic | online | <path to BMP dir>
     labels_csv: str = ""              # CSV for directory datasets
     image_size: int = 256
     renderer: str = "hard"            # on-device GT renderer for synthetic
     train_split: float = 0.9
     shuffle: bool = True
+    iso: bool = False                 # isometric-view data (2019 pipeline)
+    synthetic_size: int = 0           # resident dataset size (0 = auto)
+    lr_schedule: str = "plateau"      # plateau | step2019
 
     # precision / parallelism
     dtype: str = "float32"

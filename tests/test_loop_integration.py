@@ -1,0 +1,65 @@
+"""End-to-end train() integration on tiny shapes (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sqtpu.training.loop import train
+from sqtpu.utils.config import TrainConfig
+
+
+def test_train_two_epochs_synthetic(tmp_path):
+    cfg = TrainConfig(
+        max_epochs=2, steps_per_epoch=3, val_steps=2, batch_size=4,
+        image_size=32, render_size=16, acc_render_size=16,
+        use_pallas=False, donate=False, ckpt_dir=str(tmp_path / "run"),
+        log_interval=100,
+    )
+    state, history = train(cfg, synthetic_size=16)
+    assert len(history["loss"]) == 2
+    assert len(history["val_loss"]) == 2
+    assert np.isfinite(history["loss"]).all()
+    # loss should drop over 6 steps on 16 memorizable samples
+    assert history["loss"][1] < history["loss"][0]
+    # best-val checkpoint written
+    assert os.path.exists(tmp_path / "run" / "best.meta.json")
+    assert os.path.exists(tmp_path / "run" / "train_metrics.jsonl")
+
+
+def test_train_resume(tmp_path):
+    cfg = TrainConfig(
+        max_epochs=1, steps_per_epoch=2, val_steps=1, batch_size=2,
+        image_size=32, render_size=16, acc_render_size=16,
+        use_pallas=False, donate=False, ckpt_dir=str(tmp_path / "run"),
+        log_interval=100,
+    )
+    train(cfg, synthetic_size=8)
+    cfg2 = TrainConfig(**{**cfg.__dict__, "max_epochs": 2,
+                          "continue_training": True})
+    _, history = train(cfg2, synthetic_size=8)
+    # Reference semantics (torch/train.py:56-58 + helpers.load_model): the
+    # checkpoint stores the epoch it was saved at and training re-runs it,
+    # so the carried history is epoch 0 (from the first run) + re-run
+    # epoch 0 + epoch 1.
+    assert len(history["loss"]) == 3
+
+
+def test_train_online_data():
+    cfg = TrainConfig(
+        max_epochs=1, steps_per_epoch=2, val_steps=1, batch_size=2,
+        image_size=32, render_size=16, acc_render_size=16, data="online",
+        use_pallas=False, donate=False, ckpt_dir="", log_interval=100,
+    )
+    _, history = train(cfg)
+    assert np.isfinite(history["loss"][0])
+
+
+def test_train_explicit_loss():
+    cfg = TrainConfig(
+        max_epochs=1, steps_per_epoch=2, val_steps=1, batch_size=2,
+        image_size=32, render_size=8, acc_render_size=16, loss="explicit",
+        use_pallas=False, donate=False, ckpt_dir="", log_interval=100,
+    )
+    _, history = train(cfg, synthetic_size=8)
+    assert np.isfinite(history["loss"][0])
