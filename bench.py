@@ -16,10 +16,18 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compilation cache: first-ever run pays the multi-minute
+# remote compile; every rerun starts in seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BATCH = 256
 ITERS = 10
@@ -49,26 +57,22 @@ def main():
         jnp.asarray([[0.2, 0.2, 0.2, 0.5, 0.5, 0.5, 0.5, 0.5, 0, 0, 0, 1]],
                     jnp.float32), (BATCH, 1))
 
-    # Chain ITERS steps inside one jit and fetch the final loss to host:
-    # a single dispatch + hard device->host sync. (block_until_ready is
-    # not a reliable fence through the axon tunnel — measured 50x fast.)
-    # The same jitted program serves as its own warmup so the slow
-    # remote compile happens exactly once.
-    @jax.jit
-    def run_n(s):
-        def body(c, _):
-            c, l = step(c, s_imgs, s_labels)
-            return c, l
-        return jax.lax.scan(body, s, None, length=ITERS)
-
-    s_imgs, s_labels = imgs, labels
-    state, losses_hist = run_n(state)          # compile + warm run
-    _ = float(losses_hist[-1])                 # hard sync
+    # Timing notes for the axon TPU tunnel: block_until_ready is NOT a
+    # reliable fence (measured 50x optimistic); fetching a scalar to host
+    # (float()) is. Each step depends on the previous step's state, so
+    # dispatching ITERS steps asynchronously and fetching only the FINAL
+    # loss measures the whole chain with one round-trip — and avoids the
+    # several-minute compile of a lax.scan-wrapped copy of the step.
+    state, loss = step(state, imgs, labels)   # compile
+    _ = float(loss)
+    for _ in range(2):                         # warm steady state
+        state, loss = step(state, imgs, labels)
+    _ = float(loss)
 
     t0 = time.perf_counter()
-    state, losses_hist = run_n(state)
-    loss = losses_hist[-1]
-    _ = float(loss)  # hard sync
+    for _ in range(ITERS):
+        state, loss = step(state, imgs, labels)
+    _ = float(loss)  # hard sync on the end of the dependency chain
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt

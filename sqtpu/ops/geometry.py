@@ -224,6 +224,58 @@ def sample_surface(
 # Analytic integrals (N1: sq::volume / sq::inertia via beta functions)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Homogeneous transforms (N3: the scanner binary's hmatrix/hvector algebra)
+# ---------------------------------------------------------------------------
+
+def pose_matrix(p: jax.Array) -> jax.Array:
+    """4x4 homogeneous world-from-SQ transform of a parameter vector
+    (rotation + translation; ``hmatrix`` equivalent, SURVEY.md §2.2-N3).
+    Batched over leading dims."""
+    a, e, t, q = split_params(p)
+    R = quat.to_matrix(q)
+    m = jnp.zeros(p.shape[:-1] + (4, 4), p.dtype)
+    m = m.at[..., :3, :3].set(R)
+    m = m.at[..., :3, 3].set(t)
+    m = m.at[..., 3, 3].set(1.0)
+    return m
+
+
+def pose_inverse(m: jax.Array) -> jax.Array:
+    """Inverse of a rigid 4x4 transform (``inverse(hmatrix const&)``)."""
+    R = m[..., :3, :3]
+    t = m[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    out = jnp.zeros_like(m)
+    out = out.at[..., :3, :3].set(Rt)
+    out = out.at[..., :3, 3].set(-jnp.einsum("...ij,...j->...i", Rt, t))
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def transform_params(p: jax.Array, q2: jax.Array, t2: jax.Array) -> jax.Array:
+    """Apply a rigid pose (q2, t2) to an SQ's parameters
+    (``sq::transform_g(hmatrix)`` equivalent): q' = q2·q,
+    t' = R(q2)·t + t2; sizes/shape unchanged."""
+    a, e, t, q = split_params(p)
+    q_new = quat.multiply(q2, q)
+    t_new = quat.rotate(t, q2) + t2
+    return join_params(SQParams(a=a, e=e, t=t_new, q=q_new))
+
+
+def radial_distance(points: jax.Array, p: jax.Array) -> jax.Array:
+    """Radial (Jaklič/Solina) point-to-surface distance |r0|·|1 − F^(−e1/2)|.
+
+    Equivalent of ``sq::distance`` in the scanner binary (SURVEY.md
+    §2.2-N1): the distance along the ray from the SQ center to the point,
+    positive outside and inside alike. ``points``: (..., 3) world space.
+    """
+    a, e, t, q = split_params(p)
+    f = field_points(points, p, guard=True)  # = F^(e1)
+    r0 = jnp.linalg.norm(points - t, axis=-1)
+    return r0 * jnp.abs(1.0 - jnp.power(f, -0.5))
+
+
 def _beta(x, y):
     return jnp.exp(betaln(x, y))
 

@@ -22,6 +22,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite compiles ~100 XLA programs
+# (ResNet train steps, shard_map losses, interpreted Pallas) — cached,
+# repeat runs drop from ~12 min to ~3 min.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -31,7 +31,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("n_data,n_grid", [(4, 2), (2, 4), (8, 1), (1, 8)])
+@pytest.mark.parametrize("n_data,n_grid", [(4, 2), (1, 8)])
 def test_gridsharded_implicit_matches_unsharded(batch, n_data, n_grid):
     """DP x SP sharded loss must be numerically identical to the plain
     single-device implementation."""
@@ -44,10 +44,11 @@ def test_gridsharded_implicit_matches_unsharded(batch, n_data, n_grid):
 
 def test_gridsharded_gradients_match(batch):
     imgs, p = batch
+    imgs, p = imgs[:4, :16:1][:, ::2, ::2], p[:4]
     mesh = make_mesh(n_data=2, n_grid=4)
-    g_ref = jax.grad(lambda pp: losses.implicit_loss(imgs, pp, 32))(p)
+    g_ref = jax.grad(lambda pp: losses.implicit_loss(imgs, pp, 16))(p)
     g_shd = jax.grad(
-        lambda pp: implicit_loss_gridsharded(imgs, pp, mesh, 32))(p)
+        lambda pp: implicit_loss_gridsharded(imgs, pp, mesh, 16))(p)
     np.testing.assert_allclose(np.asarray(g_shd), np.asarray(g_ref),
                                rtol=1e-9, atol=1e-12)
 
