@@ -40,10 +40,18 @@ def _pred_vector(outputs):
     return params_vector(outputs) if isinstance(outputs, tuple) else outputs
 
 
-def _compute_loss(cfg: TrainConfig, pred, imgs, labels):
+def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
     """Loss selection (reference's commented-out alternatives,
     ``torch/train.py:62-64``, promoted to config)."""
     if cfg.loss == "implicit":
+        if mesh is not None and mesh.shape.get("grid", 1) > 1:
+            # voxel-grid SP: columns sharded over the 'grid' axis with a
+            # psum of partial sums (SURVEY.md §5.7); not composable with
+            # the single-device Pallas kernel
+            from sqtpu.parallel.sharded_losses import implicit_loss_gridsharded
+            return implicit_loss_gridsharded(
+                imgs[..., 0], pred, mesh, cfg.render_size, cfg.tau,
+                cfg.sigmoid_sharpness)
         if cfg.use_pallas:
             from sqtpu.ops.kernels import implicit_loss_auto
             return implicit_loss_auto(
@@ -74,7 +82,7 @@ def make_train_step(model, cfg: TrainConfig, mesh=None):
         outputs, mutated = model.apply(variables, imgs, train=True,
                                        mutable=mutable)
         pred = _pred_vector(outputs)
-        loss = _compute_loss(cfg, pred, imgs, labels)
+        loss = _compute_loss(cfg, pred, imgs, labels, mesh)
         new_stats = mutated.get("batch_stats") if mutable else None
         return loss, new_stats
 
@@ -112,7 +120,7 @@ def make_eval_step(model, cfg: TrainConfig, mesh=None):
             variables["batch_stats"] = state.batch_stats
         outputs = model.apply(variables, imgs, train=False)
         pred = _pred_vector(outputs)
-        loss = _compute_loss(cfg, pred, imgs, labels)
+        loss = _compute_loss(cfg, pred, imgs, labels, mesh)
         if pred.shape[-1] == 12:
             acc = metrics.iou(labels, pred, cfg.acc_render_size)
         else:

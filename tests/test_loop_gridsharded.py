@@ -1,0 +1,35 @@
+"""Train step with an active grid axis (n_grid > 1): DP x SP end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqtpu.models import ResNetSQ
+from sqtpu.parallel.mesh import make_mesh
+from sqtpu.training.loop import make_train_step
+from sqtpu.training.state import create_train_state
+from sqtpu.utils.config import TrainConfig
+
+
+def test_train_step_with_grid_axis():
+    cfg = TrainConfig(image_size=32, render_size=16, batch_size=4,
+                      use_pallas=False, donate=False, n_grid=2)
+    mesh = make_mesh(n_grid=2)
+    assert dict(mesh.shape) == {"data": 4, "grid": 2}
+    model = ResNetSQ()
+    state = create_train_state(model, jax.random.PRNGKey(0), cfg,
+                               input_shape=(1, 32, 32, 1))
+    step = make_train_step(model, cfg, mesh)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 1),
+                              jnp.float32)
+    labels = jnp.zeros((4, 12), jnp.float32)
+    new_state, loss = step(state, imgs, labels)
+    assert np.isfinite(float(loss))
+
+    # the grid-sharded loss must equal the unsharded loss for the same
+    # state/batch
+    cfg1 = TrainConfig(**{**cfg.__dict__, "n_grid": 1})
+    mesh1 = make_mesh(n_grid=1)
+    step1 = make_train_step(ResNetSQ(), cfg1, mesh1)
+    _, loss1 = step1(state, imgs, labels)
+    assert float(loss) == jax.numpy.asarray(loss1).item()
