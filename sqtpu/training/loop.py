@@ -253,9 +253,12 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
     history = {"loss": [], "val_loss": [], "val_acc": []}
     start_epoch = 0
     ckpt_path = os.path.join(cfg.ckpt_dir, "best")
-    if cfg.continue_training and os.path.exists(os.path.abspath(ckpt_path)):
+    last_path = os.path.join(cfg.ckpt_dir, "last")
+    resume_path = last_path if getattr(cfg, "resume_from", "best") == "last" \
+        else ckpt_path
+    if cfg.continue_training and os.path.exists(os.path.abspath(resume_path)):
         MetricLogger.line("Continuing with training…")
-        tree, history, start_epoch = load_checkpoint(ckpt_path, state)
+        tree, history, start_epoch = load_checkpoint(resume_path, state)
         state = tree
         history = {k: list(v) for k, v in history.items()} or history
 
@@ -313,6 +316,10 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
             saved = " [saved]"
         else:
             saved = ""
+        if cfg.ckpt_dir and getattr(cfg, "save_last", True):
+            # crash-recovery checkpoint (SURVEY.md §5.3: the reference has
+            # no failure-recovery story beyond manual best-ckpt restarts)
+            save_checkpoint(last_path, state, history, epoch)
         MetricLogger.line(
             f"Epoch {epoch}: loss {train_loss:.6f}  val_loss {val_loss:.6f} "
             f"val_acc {val_acc:.6f}  {meter.rate:.0f} imgs/s{saved}")

@@ -55,6 +55,8 @@ class TrainConfig:
     # checkpoint / logging (train.py:38, 45)
     ckpt_dir: str = "checkpoints/run0"
     continue_training: bool = False
+    resume_from: str = "best"         # best (reference parity) | last
+    save_last: bool = True            # crash-recovery ckpt every epoch
     log_interval: int = 10
     nan_policy: str = "warn"          # warn | skip
     profile_dir: str = ""             # set to emit a jax.profiler trace

@@ -63,3 +63,19 @@ def test_train_explicit_loss():
     )
     _, history = train(cfg, synthetic_size=8)
     assert np.isfinite(history["loss"][0])
+
+
+def test_last_checkpoint_and_resume_from_last(tmp_path):
+    cfg = TrainConfig(
+        max_epochs=2, steps_per_epoch=1, val_steps=1, batch_size=2,
+        image_size=32, render_size=16, acc_render_size=16,
+        use_pallas=False, donate=False, ckpt_dir=str(tmp_path / "run"),
+        log_interval=100,
+    )
+    train(cfg, synthetic_size=8)
+    assert os.path.exists(tmp_path / "run" / "last.meta.json")
+    cfg2 = TrainConfig(**{**cfg.__dict__, "max_epochs": 3,
+                          "continue_training": True, "resume_from": "last"})
+    _, history = train(cfg2, synthetic_size=8)
+    # last was saved at epoch 1 -> resume re-runs epoch 1 then epoch 2
+    assert len(history["loss"]) == 4
