@@ -167,6 +167,8 @@ def main(argv=None):
     cfg = parse_cli(EvalConfig, argv)
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    from sqtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if single_path:
         eval_single(cfg, single_path)
     else:

@@ -197,6 +197,8 @@ def main(argv=None):
     cfg = parse_cli(FitConfig, argv)
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    from sqtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     key = jax.random.PRNGKey(cfg.seed)
     # a random ground truth like visu.py:77
     from sqtpu.data.synthetic import sample_params

@@ -47,6 +47,8 @@ def generate(cfg: GenerateConfig):
     import jax
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
+    from sqtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from sqtpu.data.bmp import write_bmp

@@ -22,6 +22,8 @@ def main(argv=None):
     if cfg.platform:
         import jax
         jax.config.update("jax_platforms", cfg.platform)
+    from sqtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     train(cfg)
 
 

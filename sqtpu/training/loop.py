@@ -146,23 +146,34 @@ class SyntheticResident:
                  chunk: int = 256):
         self.cfg = cfg
         self.size = size
-        key = jax.random.PRNGKey(seed)
+        cache = self._cache_path(cfg, size, seed)
+        if cache and os.path.exists(cache):
+            data = np.load(cache)
+            self.images = jnp.asarray(data["images"])
+            self.labels = jnp.asarray(data["labels"])
+            MetricLogger.line(f"loaded synthetic dataset cache {cache}")
+        else:
+            key = jax.random.PRNGKey(seed)
 
-        @partial(jax.jit, static_argnames=())
-        def gen_chunk(k):
-            imgs, labels = make_batch(
-                k, chunk, cfg.image_size, cfg.renderer, iso=cfg.iso
-            )
-            return (imgs[..., 0] * 255.0).astype(jnp.uint8), labels
+            @partial(jax.jit, static_argnames=())
+            def gen_chunk(k):
+                imgs, labels = make_batch(
+                    k, chunk, cfg.image_size, cfg.renderer, iso=cfg.iso
+                )
+                return (imgs[..., 0] * 255.0).astype(jnp.uint8), labels
 
-        img_chunks, lbl_chunks = [], []
-        for i in range(0, size, chunk):
-            k = jax.random.fold_in(key, i)
-            im, lb = gen_chunk(k)
-            img_chunks.append(im)
-            lbl_chunks.append(lb)
-        self.images = jnp.concatenate(img_chunks)[:size]   # (N, S, S) uint8
-        self.labels = jnp.concatenate(lbl_chunks)[:size]   # (N, 12)
+            img_chunks, lbl_chunks = [], []
+            for i in range(0, size, chunk):
+                k = jax.random.fold_in(key, i)
+                im, lb = gen_chunk(k)
+                img_chunks.append(im)
+                lbl_chunks.append(lb)
+            self.images = jnp.concatenate(img_chunks)[:size]  # (N,S,S) uint8
+            self.labels = jnp.concatenate(lbl_chunks)[:size]  # (N, 12)
+            if cache:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                np.savez(cache, images=np.asarray(self.images),
+                         labels=np.asarray(self.labels))
         n_train = int(cfg.train_split * size)
         self.n_train, self.n_val = n_train, size - n_train
 
@@ -173,6 +184,14 @@ class SyntheticResident:
             return imgs[..., None], self.labels[idx]
 
         self._gather = gather
+
+    @staticmethod
+    def _cache_path(cfg: TrainConfig, size: int, seed: int):
+        if not cfg.ckpt_dir:
+            return None
+        name = (f"synth_{size}_{cfg.image_size}_{cfg.renderer}"
+                f"_iso{int(cfg.iso)}_s{seed}.npz")
+        return os.path.join("data_cache", name)
 
     def train_batch(self, key):
         return self._gather(key, 0, self.n_train)
