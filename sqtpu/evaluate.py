@@ -85,16 +85,22 @@ def eval_random(cfg: EvalConfig):
     os.makedirs(cfg.out_dir, exist_ok=True)
 
     @partial(jax.jit, static_argnames=())
-    def batch_eval(key):
+    def batch_eval(variables, key):
+        # model weights ride as arguments (closure capture would embed
+        # them in the HLO as constants)
         p_true = sample_params(key, cfg.batch_size)
         imgs = jax.vmap(
-            lambda pi: render_depth_hard(pi, cfg.image_size, n_bisect=12,
-                                         quantize=True)
+            lambda pi: render_depth_hard(pi, cfg.image_size, n_bisect=16,
+                                         quantize=True, n_sweep=64)
         )(p_true)[..., None]
-        p_pred = predict(model, state, imgs)
+        p_pred = params_vector(model.apply(variables, imgs, train=False))
         triple = metrics.iou_full(p_true, p_pred, cfg.acc_render_size)
         mae = jnp.abs(p_pred - p_true)
         return p_true, p_pred, triple, mae, imgs
+
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
 
     all_triples, all_mae = [], []
     f = open(os.path.join(cfg.out_dir, cfg.results_file), "a")
@@ -105,7 +111,7 @@ def eval_random(cfg: EvalConfig):
     for b in range(n_batches):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), b)
         t0 = time.perf_counter()
-        p_true, p_pred, triple, mae, imgs = batch_eval(key)
+        p_true, p_pred, triple, mae, imgs = batch_eval(variables, key)
         p_true, p_pred = np.asarray(p_true), np.asarray(p_pred)
         triple, mae = np.asarray(triple), np.asarray(mae)
         if b > 0:  # skip compile step, like the reference (num_img > 0)
