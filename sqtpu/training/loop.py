@@ -178,10 +178,14 @@ class SyntheticResident:
         self.n_train, self.n_val = n_train, size - n_train
 
         @jax.jit
-        def gather(key, lo, n):
+        def gather(images, labels, key, lo, n):
+            # images/labels ride as device-buffer ARGUMENTS: capturing
+            # them in the closure embeds the whole dataset into the HLO
+            # as a constant (observed as an HTTP 413 from the remote
+            # compile service on a 537 MB program)
             idx = jax.random.randint(key, (cfg.batch_size,), lo, lo + n)
-            imgs = self.images[idx].astype(jnp.float32) / 255.0
-            return imgs[..., None], self.labels[idx]
+            imgs = images[idx].astype(jnp.float32) / 255.0
+            return imgs[..., None], labels[idx]
 
         self._gather = gather
 
@@ -194,10 +198,11 @@ class SyntheticResident:
         return os.path.join("data_cache", name)
 
     def train_batch(self, key):
-        return self._gather(key, 0, self.n_train)
+        return self._gather(self.images, self.labels, key, 0, self.n_train)
 
     def val_batch(self, key):
-        return self._gather(key, self.n_train, max(self.n_val, 1))
+        return self._gather(self.images, self.labels, key, self.n_train,
+                            max(self.n_val, 1))
 
 
 # ---------------------------------------------------------------------------
