@@ -191,7 +191,7 @@ class SyntheticResident:
 
     @staticmethod
     def _cache_path(cfg: TrainConfig, size: int, seed: int):
-        if not cfg.ckpt_dir:
+        if not cfg.ckpt_dir or not getattr(cfg, "data_cache", False):
             return None
         name = (f"synth_{size}_{cfg.image_size}_{cfg.renderer}"
                 f"_iso{int(cfg.iso)}_s{seed}.npz")

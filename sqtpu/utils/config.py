@@ -44,6 +44,10 @@ class TrainConfig:
     shuffle: bool = True
     iso: bool = False                 # isometric-view data (2019 pipeline)
     synthetic_size: int = 0           # resident dataset size (0 = auto)
+    data_cache: bool = False          # persist synthetic data to disk.
+    # Default OFF: on this environment host->device uploads run ~0.5 MB/s
+    # through the TPU tunnel (a 537 MB dataset takes ~20 min to re-upload),
+    # while regenerating on device takes seconds once compiled.
     lr_schedule: str = "plateau"      # plateau | step2019
 
     # precision / parallelism
