@@ -66,6 +66,13 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         return losses.least_squares_loss(imgs[..., 0], pred, cfg.render_size)
     if cfg.loss == "param_mse":
         return losses.param_mse(pred, labels[..., : pred.shape[-1]])
+    if cfg.loss == "supervised":
+        # block-parameter MSE + antipodal-symmetric quaternion loss
+        # (BASELINE config 2: explicit supervision of size/shape/position
+        # plus rotation)
+        block = losses.param_mse(pred[..., :8], labels[..., :8])
+        quat_l = losses.quaternion_loss(pred[..., 8:12], labels[..., 8:12])
+        return block + quat_l
     raise ValueError(f"unknown loss {cfg.loss}")
 
 

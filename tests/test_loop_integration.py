@@ -79,3 +79,13 @@ def test_last_checkpoint_and_resume_from_last(tmp_path):
     _, history = train(cfg2, synthetic_size=8)
     # last was saved at epoch 1 -> resume re-runs epoch 1 then epoch 2
     assert len(history["loss"]) == 4
+
+
+def test_train_supervised_loss():
+    cfg = TrainConfig(
+        max_epochs=1, steps_per_epoch=2, val_steps=1, batch_size=2,
+        image_size=32, render_size=8, acc_render_size=16, loss="supervised",
+        use_pallas=False, donate=False, ckpt_dir="", log_interval=100,
+    )
+    _, history = train(cfg, synthetic_size=8)
+    assert np.isfinite(history["loss"][0])
