@@ -1,0 +1,55 @@
+"""Extra viz / evaluate coverage: loss-landscape branches, single-image CLI."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqtpu.ops import quaternion as quat
+
+
+@pytest.fixture(scope="module")
+def base_p():
+    p = jnp.asarray([0.18, 0.11, 0.26, 0.65, 0.15, 0.5, 0.5, 0.5,
+                     -0.45, -0.24, 0.78, -0.35], dtype=jnp.float64)
+    return p.at[8:12].set(p[8:12] / jnp.linalg.norm(p[8:12]))
+
+
+@pytest.mark.parametrize("loss_name", ["implicit", "quaternion"])
+def test_slerp_sweep_other_losses(base_p, loss_name, tmp_path):
+    from sqtpu.viz import slerp_sweep
+
+    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+    q1 = quat.random_uniform(jax.random.PRNGKey(3), (), jnp.float64)
+    angs, ls, ious = slerp_sweep(base_p, q0, q1, loss_name, n=8,
+                                 render_size=16)
+    assert np.all(np.isfinite(ls)) and np.all(np.isfinite(ious))
+    assert len(angs) == 8
+
+
+def test_quaternion_loss_minimum_at_true_rotation(base_p):
+    """Landscape sanity: the quaternion loss is minimal at the true
+    orientation along a slerp through it."""
+    from sqtpu.viz import slerp_sweep
+
+    q_true = base_p[8:12]
+    q_far = quat.random_uniform(jax.random.PRNGKey(9), (), jnp.float64)
+    angs, ls, _ = slerp_sweep(base_p, q_true, q_far, "quaternion", n=16,
+                              render_size=8)
+    assert np.argmin(ls) == 0  # t=0 is exactly q_true
+
+
+def test_eval_single_cli(tmp_path, capsys):
+    from sqtpu.data.bmp import write_bmp
+    from sqtpu.evaluate import eval_single
+    from sqtpu.utils.config import EvalConfig
+
+    img = (np.random.default_rng(0).uniform(0, 1, (32, 32)) * 255
+           ).astype(np.uint8)
+    path = str(tmp_path / "in.bmp")
+    write_bmp(path, img)
+    cfg = EvalConfig(ckpt_dir=str(tmp_path / "none"), image_size=32)
+    pred = eval_single(cfg, path)
+    assert pred.shape == (12,)
+    out = capsys.readouterr().out
+    assert "Size a:" in out and "Rotation q:" in out
