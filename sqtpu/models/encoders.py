@@ -25,6 +25,13 @@ class ConvEncoder(nn.Module):
     Channel plan (32, 32, 32, 32, 64, 64, 64, 128, 128, 128, 256, 256, 256)
     with stride 2 on blocks 0, 3, 6, 9, 12 and a 7x7 stem — exactly the
     reference topology (``torch/models.py:134-152``; ``py/models.py:19-40``).
+
+    Padding note: 'SAME' here matches the KERAS generation's
+    ``padding="same"`` semantics (asymmetric (0,1) pads on stride-2
+    layers). The torch ``GenericNetSQ`` pads (1,1); since no pretrained
+    GenericNet weights exist to port, the keras convention is used for
+    both. (ResNetSQ, which DOES port torchvision weights, uses explicit
+    torch-style padding — see resnet.py.)
     """
 
     activation: str = "leaky_relu"  # "leaky_relu" (torch) | "relu" (keras)

@@ -31,13 +31,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
+        # explicit (1,1) padding: flax 'SAME' pads (0,1) for stride-2 3x3
+        # on even sizes, while torch pads (1,1) — required for torchvision
+        # weight-port parity (verified in tests/test_torch_parity.py)
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), (1, 1), padding="SAME",
+        y = nn.Conv(self.features, (3, 3), (1, 1), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                          name="bn2")(y)
