@@ -55,9 +55,14 @@ def _supported(n: int) -> bool:
     return (n * n) % LANES == 0 and n >= 16
 
 
-def _tile_b(batch: int) -> int:
+def _tile_b(batch: int, n: int) -> int:
+    """Samples per program: as many as divide the batch AND keep the
+    backward's 17 accumulator planes within ~4 MB of VMEM (the rest of
+    the ~16 MB budget goes to the working planes and pipelining)."""
+    rows = (n * n) // LANES
+    budget = 4 * 1024 * 1024
     for t in (8, 4, 2):
-        if batch % t == 0:
+        if batch % t == 0 and N_PAR * t * rows * LANES * 4 <= budget:
             return t
     return 1
 
@@ -281,7 +286,7 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 
 def _fwd_call(img_xy, par, n: int, tau: float, sharp: float):
     b = par.shape[0]
-    tile_b = _tile_b(b)
+    tile_b = _tile_b(b, n)
     rows = (n * n) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # par rides SMEM, full array, indexed by pid
@@ -303,7 +308,7 @@ def _fwd_call(img_xy, par, n: int, tau: float, sharp: float):
 
 def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
     b = par.shape[0]
-    tile_b = _tile_b(b)
+    tile_b = _tile_b(b, n)
     rows = (n * n) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # par (B, 24) and upstream g (B,) in SMEM
