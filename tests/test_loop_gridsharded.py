@@ -32,4 +32,6 @@ def test_train_step_with_grid_axis():
     mesh1 = make_mesh(n_grid=1)
     step1 = make_train_step(ResNetSQ(), cfg1, mesh1)
     _, loss1 = step1(state, imgs, labels)
-    assert float(loss) == jax.numpy.asarray(loss1).item()
+    # identical math; tolerance covers fp32 reduction-order differences
+    # between the psum-of-partials and the single-device sum (last ulp)
+    assert abs(float(loss) - float(loss1)) < 1e-6 * abs(float(loss1))
