@@ -90,11 +90,12 @@ def gd_fit(cfg: FitConfig, target_params=None, target_image=None,
     """Gradient-descent fit. Returns (fitted 12-params, loss history)."""
     if p0 is None:
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
-        k1, k2 = jax.random.split(key)
-        # visu.py:55-56 randsq() + randquat() init distribution
+        k1, k2, k3 = jax.random.split(key, 3)
+        # visu.py:55-56 randsq() + randquat() init distribution:
+        # a ~ U(0.1, 0.3), e ~ U(0.1, 1), t ~ U(0.34, 0.65)
         a = jax.random.uniform(k1, (3,), jnp.float32, 0.1, 0.3)
-        et = jax.random.uniform(k2, (5,), jnp.float32, 0.1, 1.0)
-        e, t = et[:2], 0.34 + et[2:] * (0.65 - 0.34) / 1.0
+        e = jax.random.uniform(k2, (2,), jnp.float32, 0.1, 1.0)
+        t = jax.random.uniform(k3, (3,), jnp.float32, 0.34, 0.65)
         q = quat.random_uniform(jax.random.fold_in(key, 3), ())
         p0 = jnp.concatenate([a, e, t, q]).astype(jnp.float32)
     loss_fn = _loss_closure(cfg, target_params, target_image)

@@ -134,7 +134,14 @@ def to_magnitude(q: jax.Array) -> jax.Array:
 
 def to_euler(q: jax.Array) -> jax.Array:
     """(phi, theta, gamma) per the reference's convention
-    (``torch/quaternion.py:129-137``)."""
+    (``torch/quaternion.py:129-137``).
+
+    QUIRK (ported faithfully): the reference's theta term is
+    ``acos(-qi^2 - qj^2 - qk^2 - qr^2)`` = acos(-|q|^2), which is
+    constantly pi for unit quaternions — an evident sign typo in the
+    reference (a standard convention would be -qi^2 - qj^2 + qk^2 + qr^2).
+    Kept bit-compatible; use :func:`to_axis_angle` / :func:`to_magnitude`
+    for meaningful angles."""
     qi, qj, qk, qr = jnp.split(q, 4, axis=-1)
     phi = jnp.arctan2(qi * qk + qj * qr, -(qj * qk - qi * qr))
     theta = jnp.arccos(jnp.clip(-(qi**2) - qj**2 - qk**2 - qr**2, -1.0, 1.0))

@@ -26,6 +26,20 @@ import jax.numpy as jnp
 from sqtpu.ops import geometry
 
 
+def depth_from_axes(ax_x, ax_y, ax_z, p, tau, sharpness, n: int):
+    """Clamped params + grid axes -> depth image slab in image layout
+    ((rows, len(ax_x)) with row 0 = top). The single shared
+    implementation of the occupancy->transmittance projection, reused by
+    the full renderer and the grid-sharded loss (x-axis sliced)."""
+    from sqtpu.ops import geometry as _g
+
+    f = _g.field_grid(ax_x, ax_y, ax_z, p, guard=True)
+    occ = jax.nn.sigmoid(sharpness * (1.0 - f))
+    cum = jnp.cumsum(jnp.flip(occ, axis=-1), axis=-1)
+    depth = 1.0 - jnp.sum(jnp.exp(-tau * cum), axis=-1) / n
+    return jnp.flip(depth.T, axis=0)
+
+
 def _depth_from_field(inout: jax.Array, tau, sharpness, n: int) -> jax.Array:
     """Soft occupancy -> transmittance depth, image convention.
 
@@ -99,10 +113,13 @@ def render_depth_hard(
     binary's BMP output (SURVEY.md §2.2-N2).
 
     ``n_sweep`` controls the coarse z-sweep slab count (default =
-    ``image_size``). The thinnest renderable SQ in the reference data
-    distribution has diameter 2·25/255 ≈ 0.196, so 64 slabs (spacing
-    0.016) cannot miss geometry — use ``n_sweep=64`` for ~3x cheaper
-    bulk data generation at identical output.
+    ``image_size``). The thinnest SQ in the reference data distribution
+    has diameter 2·25/255 ≈ 0.196 ≫ the 1/63 slab spacing, so interior
+    pixels are never missed at ``n_sweep=64`` (~3x cheaper bulk
+    generation); grazing rays at the silhouette whose inside chord is
+    shorter than a slab can still be skipped, eroding edge pixels
+    slightly relative to a full-resolution sweep — use the default for
+    scanner byte-parity, 64 for bulk training data.
     """
     dtype = p.dtype
     s = image_size

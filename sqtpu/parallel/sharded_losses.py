@@ -53,12 +53,10 @@ def implicit_loss_gridsharded(
         ax_x = jax.lax.dynamic_slice_in_dim(ax, gi * shard, shard)
 
         def one(pi):
+            from sqtpu.ops.render import depth_from_axes
             pp = geometry.clamp_params(pi)
-            f = geometry.field_grid(ax_x, ax, ax, pp, guard=True)
-            occ = jax.nn.sigmoid(sharp * (1.0 - f))
-            cum = jnp.cumsum(jnp.flip(occ, axis=-1), axis=-1)
-            depth = 1.0 - jnp.sum(jnp.exp(-tau * cum), axis=-1) / n
-            return jnp.flip(depth.T, axis=0)  # (n rows, shard cols)
+            # (n rows, shard cols) — shared projection implementation
+            return depth_from_axes(ax_x, ax, ax, pp, tau, sharp, n)
 
         d = jax.vmap(one)(p_local)
         partial_l1 = jnp.sum(jnp.abs(img_cols - d), axis=(1, 2))  # (b_local,)

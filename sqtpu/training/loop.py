@@ -94,6 +94,7 @@ def make_train_step(model, cfg: TrainConfig, mesh=None):
         return loss, new_stats
 
     donate = (0,) if cfg.donate else ()
+    skip_nonfinite = cfg.nan_policy == "skip"
 
     @partial(jax.jit, donate_argnums=donate)
     def step(state: SQTrainState, imgs, labels):
@@ -107,6 +108,15 @@ def make_train_step(model, cfg: TrainConfig, mesh=None):
         new_state = state.apply_gradients(grads=grads)
         if new_stats is not None:
             new_state = new_state.replace(batch_stats=new_stats)
+        if skip_nonfinite:
+            # nan_policy="skip": discard the whole update when the loss is
+            # non-finite. Must happen IN-graph — with buffer donation the
+            # pre-update state no longer exists on the host side.
+            ok = jnp.isfinite(loss)
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if hasattr(new, "dtype") else new,
+                new_state, state)
         return new_state, loss
 
     return step
@@ -183,6 +193,12 @@ class SyntheticResident:
                          labels=np.asarray(self.labels))
         n_train = int(cfg.train_split * size)
         self.n_train, self.n_val = n_train, size - n_train
+        if self.n_val == 0:
+            # JAX clamps out-of-bounds gathers, so an empty val split would
+            # silently validate on the last TRAIN image
+            raise ValueError(
+                f"train_split={cfg.train_split} leaves no validation "
+                f"samples in a {size}-image synthetic dataset")
 
         @jax.jit
         def gather(images, labels, key, lo, n):
@@ -258,11 +274,11 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         return make_batch(k, cfg.batch_size, cfg.image_size, cfg.renderer,
                           iso=cfg.iso)
 
-    def train_batches(epoch_key):
+    def train_batches(epoch_key, epoch=0):
         if host_dataset is not None:
             yield from host_dataset.batches(
                 host_dataset.train_indices, cfg.batch_size,
-                shuffle=cfg.shuffle, seed=cfg.seed)
+                shuffle=cfg.shuffle, seed=cfg.seed + epoch)
             return
         for s in range(cfg.steps_per_epoch):
             k = jax.random.fold_in(epoch_key, s)
@@ -291,7 +307,8 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         MetricLogger.line("Continuing with training…")
         tree, history, start_epoch = load_checkpoint(resume_path, state)
         state = tree
-        history = {k: list(v) for k, v in history.items()} or history
+        history = {"loss": [], "val_loss": [], "val_acc": [],
+                   **{k: list(v) for k, v in history.items()}}
 
     scheduler = ReduceLROnPlateau(get_lr(state), cfg.plateau_patience,
                                   cfg.plateau_factor)
@@ -307,7 +324,8 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         key, epoch_key, val_key = jax.random.split(key, 3)
         epoch_losses = []
         meter.reset()
-        for step_idx, (imgs, labels) in enumerate(train_batches(epoch_key)):
+        for step_idx, (imgs, labels) in enumerate(
+                train_batches(epoch_key, epoch)):
             state, loss = train_step(state, imgs, labels)
             loss_val = float(loss)
             if not nan_guard.check(loss_val):

@@ -49,15 +49,16 @@ def slerp_sweep(
     qs = quat.slerp(q_start, q_end, t)  # (n, 4)
     true_p = base_params[None]
     q_true = base_params[8:12]
+    if loss_name == "implicit":  # loop-invariant target, render once
+        from sqtpu.ops.render import render_depth_soft
+        target_img = render_depth_soft(base_params, render_size)[None]
 
     def eval_one(qi):
         pred = base_params.at[8:12].set(qi)[None]
         if loss_name == "explicit":
             l = losses.explicit_loss(true_p, pred, render_size)
         elif loss_name == "implicit":
-            from sqtpu.ops.render import render_depth_soft
-            img = render_depth_soft(base_params, render_size)[None]
-            l = losses.implicit_loss(img, pred, render_size)
+            l = losses.implicit_loss(target_img, pred, render_size)
         elif loss_name == "quaternion":
             l = losses.quaternion_loss(qi[None], q_true[None])
         else:

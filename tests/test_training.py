@@ -142,3 +142,23 @@ def test_synthetic_batch_shapes():
     np.testing.assert_allclose(
         np.asarray(labels_iso[:, 8:12]),
         np.tile(np.array([1, 1, 1, 0]) / np.sqrt(3), (2, 1)), atol=1e-6)
+
+
+def test_nan_policy_skip_preserves_state(tiny_setup):
+    """nan_policy='skip' must discard the whole update in-graph (with
+    donation the pre-update state no longer exists host-side)."""
+    cfg, model, state, imgs, labels = tiny_setup
+    cfg_skip = TrainConfig(**{**cfg.__dict__, "nan_policy": "skip"})
+    step = make_train_step(model, cfg_skip, mesh=None)
+    bad_imgs = imgs.at[0, 0, 0, 0].set(jnp.nan)
+    new_state, loss = step(state, bad_imgs, labels)
+    assert not np.isfinite(float(loss))
+    before = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    after = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    np.testing.assert_array_equal(before, after)       # update discarded
+    assert int(new_state.step) == int(state.step)       # step not advanced
+    # a good batch still updates
+    new_state2, loss2 = step(new_state, imgs, labels)
+    assert np.isfinite(float(loss2))
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(new_state2.params)[0]), before)
