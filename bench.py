@@ -35,11 +35,13 @@ BASELINE_PER_CHIP = 2500.0  # north-star v5e-8 target / 8 chips
 
 
 def main():
+    from sqtpu.data.synthetic import make_batch
     from sqtpu.models import ResNetSQ
     from sqtpu.parallel.mesh import make_mesh
     from sqtpu.training.loop import make_train_step
     from sqtpu.training.state import create_train_state
     from sqtpu.utils.config import TrainConfig
+    from sqtpu.utils.profiling import StepTimer
 
     n_chips = len(jax.devices())
     # the shipping performance config: bf16 encoder compute (fp32 params),
@@ -69,15 +71,34 @@ def main():
         state, loss = step(state, imgs, labels)
     _ = float(loss)
 
-    t0 = time.perf_counter()
+    timer = StepTimer()
+    timer.start()
     for _ in range(ITERS):
         state, loss = step(state, imgs, labels)
-    _ = float(loss)  # hard sync on the end of the dependency chain
-    dt = time.perf_counter() - t0
+    dt = timer.stop(loss)  # fences on the end of the dependency chain
 
     imgs_per_sec = BATCH * ITERS / dt
     per_chip = imgs_per_sec / n_chips
     point_evals_per_sec = imgs_per_sec * cfg.render_size**3
+
+    # ---- end-to-end ONLINE training: in-graph hard-render data gen +
+    # train step ("rotated-SQ training" including producing the rotated
+    # SQs — data/synthetic.py make_batch fused into the step)
+    @jax.jit
+    def online_step(state, k):
+        imgs, labels = make_batch(k, BATCH, 256, "hard")
+        return step(state, imgs, labels)
+
+    key = jax.random.PRNGKey(2)
+    state, loss = online_step(state, key)      # compile
+    _ = float(loss)
+    state, loss = online_step(state, jax.random.fold_in(key, 1))
+    _ = float(loss)
+    timer.start()
+    for i in range(ITERS):
+        state, loss = online_step(state, jax.random.fold_in(key, 2 + i))
+    dt_online = timer.stop(loss)
+    online_per_chip = BATCH * ITERS / dt_online / n_chips
 
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip",
@@ -90,6 +111,8 @@ def main():
             "batch": BATCH,
             "loss_point_evals_per_sec": round(point_evals_per_sec, 1),
             "final_loss": float(loss),
+            "online_imgs_per_sec_per_chip": round(online_per_chip, 2),
+            "online_note": "in-graph data gen (hard ray-cast render) + train step",
         },
     }))
 

@@ -76,8 +76,12 @@ def eval_random(cfg: EvalConfig):
 
     Per batch: sample the reference eval distribution
     (``test_random.py:34-37``), ray-cast GT depth, predict, score with the
-    IoU triple at 128³ (rotation-isolated IoU, full IoU, angle error —
-    the fixed quirk-Q7 semantics) and per-parameter MAE.
+    IoU tuple at 128³ (rotation-isolated IoU, full IoU, angle error raw +
+    modulo the SQ's D2 symmetry — the fixed quirk-Q7 semantics) and
+    per-parameter MAE. Two latencies are reported: the full on-device
+    closed loop (render+predict+score) and PREDICT-ONLY, matching the
+    reference's timing semantics (``py/test_isometry.py:47-52`` times
+    ``model.predict`` alone).
     Artifacts: ``results.txt`` append log + ``accs.npz`` (the reference
     pickled; npz is the interop-friendly equivalent).
     """
@@ -126,22 +130,52 @@ def eval_random(cfg: EvalConfig):
             print("True params:", denormalize_torch(p_true[i]), file=f)
             print("Pred params:", denormalize_torch(p_pred[i]), file=f)
             print("- Accuracy:", triple[i] * 100, file=f)
-        # side-by-side true/pred renders (save_compare_images equivalent)
-        while pairs_saved < cfg.save_pairs and pairs_saved < cfg.batch_size:
-            i = pairs_saved
+        # side-by-side true/pred renders (save_compare_images equivalent);
+        # indexes within the CURRENT batch so save_pairs > batch_size
+        # keeps saving across batches (round-1 advisor finding)
+        while (pairs_saved < cfg.save_pairs
+               and pairs_saved - b * cfg.batch_size < cfg.batch_size):
+            i = pairs_saved - b * cfg.batch_size
             true_img = (np.asarray(imgs[i, ..., 0]) * 255).astype(np.uint8)
             pred_img = np.asarray(
                 render_depth_hard(jnp.asarray(p_pred[i]), cfg.image_size,
                                   quantize=True)) * 255
-            write_bmp(os.path.join(cfg.out_dir, f"{i}_true.bmp"), true_img)
-            write_bmp(os.path.join(cfg.out_dir, f"{i}_pred.bmp"),
+            write_bmp(os.path.join(cfg.out_dir,
+                                   f"{pairs_saved}_true.bmp"), true_img)
+            write_bmp(os.path.join(cfg.out_dir,
+                                   f"{pairs_saved}_pred.bmp"),
                       pred_img.astype(np.uint8))
             pairs_saved += 1
     f.close()
 
+    # ---- predict-only latency (reference semantics: model.predict alone,
+    # py/test_isometry.py:47-52, which ran batch 1)
+    @jax.jit
+    def predict_only(variables, imgs):
+        return params_vector(model.apply(variables, imgs, train=False))
+
+    import time as _time
+    key0 = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0)
+    p0 = sample_params(key0, cfg.batch_size)
+    imgs0 = jax.vmap(
+        lambda pi: render_depth_hard(pi, cfg.image_size, n_bisect=16,
+                                     quantize=True, n_sweep=64))(p0)[..., None]
+    one = imgs0[:1]
+    predict_latency = {}
+    for name, x in (("batch1", one), (f"batch{cfg.batch_size}", imgs0)):
+        _ = np.asarray(predict_only(variables, x))  # compile + warm
+        t0 = _time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = predict_only(variables, x)
+        _ = float(out[0, 0])  # fence (block_until_ready unreliable here)
+        predict_latency[name] = (
+            (_time.perf_counter() - t0) / (reps * x.shape[0]))
+
     triples = np.concatenate(all_triples)[: cfg.n]
     maes = np.concatenate(all_mae)[: cfg.n]
-    rot_iou, full_iou, ang = triples[:, 0], triples[:, 1], triples[:, 2]
+    rot_iou, full_iou = triples[:, 0], triples[:, 1]
+    ang, ang_sym = triples[:, 2], triples[:, 3]
     print("--Rot::")
     print("Mean: ", rot_iou.mean())
     print("Std: ", rot_iou.std())
@@ -150,16 +184,28 @@ def eval_random(cfg: EvalConfig):
     print("Std: ", full_iou.std())
     print("--Angle err (rad)::")
     print("Mean: ", ang.mean())
+    print("--Angle err mod D2 symmetry (rad)::")
+    print("Mean: ", ang_sym.mean())
     print("--Param MAE (12)::")
     print(maes.mean(axis=0))
     if latencies:
         print(f"--Per-image latency (render+predict+score): "
               f"{1e3 * float(np.mean(latencies)):.3f} ms")
+    for name, lat in predict_latency.items():
+        print(f"--Per-image latency (predict only, {name}): "
+              f"{1e3 * lat:.3f} ms")
     np.savez(os.path.join(cfg.out_dir, "accs.npz"),
-             rot_iou=rot_iou, full_iou=full_iou, angle=ang, mae=maes)
+             rot_iou=rot_iou, full_iou=full_iou, angle=ang,
+             angle_sym=ang_sym, mae=maes,
+             predict_latency_s=np.asarray(
+                 [predict_latency["batch1"],
+                  predict_latency[f"batch{cfg.batch_size}"]]))
     return {"rot_iou_mean": float(rot_iou.mean()),
             "full_iou_mean": float(full_iou.mean()),
             "angle_mean": float(ang.mean()),
+            "angle_sym_mean": float(ang_sym.mean()),
+            "predict_latency_ms": {k: 1e3 * v
+                                   for k, v in predict_latency.items()},
             "param_mae": maes.mean(axis=0).tolist()}
 
 

@@ -63,7 +63,11 @@ def generate(cfg: GenerateConfig):
     while n_done < cfg.n:
         b = min(cfg.batch_size, cfg.n - n_done)
         key, sub = jax.random.split(key)
-        p = np.asarray(sample_params(sub, b, iso=cfg.iso, dtype=jnp.float64))
+        # labels are fp32: without jax_enable_x64 a float64 request would
+        # silently downgrade anyway, and the CSV's %f formatting (6
+        # decimals, reference gen_rand_rot.py:36-39) makes fp32 vs fp64
+        # observationally identical
+        p = np.asarray(sample_params(sub, b, iso=cfg.iso))
         M = np.asarray(quat.to_matrix(jnp.asarray(p[:, 8:12])))
 
         if cfg.backend == "native":

@@ -6,7 +6,10 @@ from sqtpu.models.heads import (  # noqa: F401
 )
 from sqtpu.models.nets import GenericNetSQ, KerasIsoNet, KerasRotNet  # noqa: F401
 from sqtpu.models.resnet import BasicBlock, ResNet18, ResNetSQ, params_vector  # noqa: F401
-from sqtpu.models.torch_port import load_torchvision_resnet18  # noqa: F401
+from sqtpu.models.torch_port import (  # noqa: F401
+    export_torchvision_resnet18, load_state_dict_file,
+    load_torchvision_resnet18,
+)
 
 MODEL_REGISTRY = {
     "resnet_sq": ResNetSQ,

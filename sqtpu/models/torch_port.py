@@ -19,6 +19,60 @@ def _conv_kernel(w) -> np.ndarray:
     return np.transpose(np.asarray(w, dtype=np.float32), (2, 3, 1, 0))
 
 
+def _conv_kernel_inv(w) -> np.ndarray:
+    """flax HWIO -> torch OIHW."""
+    return np.transpose(np.asarray(w, dtype=np.float32), (3, 2, 0, 1))
+
+
+def load_state_dict_file(path: str) -> dict:
+    """Read a resnet18 state_dict from ``.npz`` (numpy archive of the
+    torch key layout) or ``.pt``/``.pth`` (via torch, if installed)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch  # optional dependency, only for .pt checkpoints
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def export_torchvision_resnet18(variables: dict) -> dict:
+    """Inverse of :func:`load_torchvision_resnet18`: dump the ResNetSQ
+    encoder as a torchvision-resnet18-layout state_dict (numpy arrays).
+
+    conv1 stays single-channel — :func:`load_torchvision_resnet18`'s
+    grayscale ``sum(axis=1)`` is a no-op on it, so export -> load
+    round-trips exactly. This is how a TPU-trained encoder becomes a
+    "pretrained weights" artifact for later runs (``--pretrained``),
+    format-compatible with real torchvision checkpoints.
+    """
+    params = variables["params"]["encoder"]
+    stats = variables["batch_stats"]["encoder"]
+    sd: dict = {}
+
+    def get_bn(flax_name, torch_prefix, p=params, s=stats):
+        sd[f"{torch_prefix}.weight"] = np.asarray(p[flax_name]["scale"])
+        sd[f"{torch_prefix}.bias"] = np.asarray(p[flax_name]["bias"])
+        sd[f"{torch_prefix}.running_mean"] = np.asarray(s[flax_name]["mean"])
+        sd[f"{torch_prefix}.running_var"] = np.asarray(s[flax_name]["var"])
+
+    sd["conv1.weight"] = _conv_kernel_inv(params["conv1"]["kernel"])
+    get_bn("bn1", "bn1")
+    for stage in range(1, 5):
+        for block in range(2):
+            bp = params[f"layer{stage}_{block}"]
+            bs = stats[f"layer{stage}_{block}"]
+            tp = f"layer{stage}.{block}"
+            sd[f"{tp}.conv1.weight"] = _conv_kernel_inv(bp["conv1"]["kernel"])
+            sd[f"{tp}.conv2.weight"] = _conv_kernel_inv(bp["conv2"]["kernel"])
+            get_bn("bn1", f"{tp}.bn1", bp, bs)
+            get_bn("bn2", f"{tp}.bn2", bp, bs)
+            if "downsample_conv" in bp:
+                sd[f"{tp}.downsample.0.weight"] = _conv_kernel_inv(
+                    bp["downsample_conv"]["kernel"])
+                get_bn("downsample_bn", f"{tp}.downsample.1", bp, bs)
+    return sd
+
+
 def load_torchvision_resnet18(variables: dict, state_dict: dict) -> dict:
     """Return a copy of ``variables`` with the encoder weights replaced.
 

@@ -199,6 +199,83 @@ def _spow(base: jax.Array, expo) -> jax.Array:
     return jnp.sign(base) * jnp.power(jnp.abs(base), expo)
 
 
+def surface_point(p: jax.Array, eta: jax.Array, omega: jax.Array,
+                  frame: str = "world") -> jax.Array:
+    """Closed-form surface point r(η, ω) (``sq::r`` in the scanner
+    binary, SURVEY.md §2.2-N1):
+
+    ``x = a1·cos^e1(η)·cos^e2(ω), y = a2·cos^e1(η)·sin^e2(ω),
+    z = a3·sin^e1(η)`` with signed powers. η ∈ [−π/2, π/2],
+    ω ∈ [−π, π]; broadcasts over eta/omega shapes.
+    """
+    a, e, t, q = split_params(p)
+    ce1 = _spow(jnp.cos(eta), e[0])
+    x = a[0] * ce1 * _spow(jnp.cos(omega), e[1])
+    y = a[1] * ce1 * _spow(jnp.sin(omega), e[1])
+    z = a[2] * _spow(jnp.sin(eta), e[0]) * jnp.ones_like(x)
+    pts = jnp.stack([x, y, z], axis=-1)
+    if frame == "body":
+        return pts
+    return quat.rotate(pts.reshape(-1, 3), q[None, :]).reshape(pts.shape) \
+        + t
+
+
+def surface_normal(p: jax.Array, eta: jax.Array, omega: jax.Array,
+                   frame: str = "world") -> jax.Array:
+    """Closed-form outward unit surface normal n(η, ω)
+    (``sq::normal(η,ω)`` in the scanner binary, SURVEY.md §2.2-N1;
+    Jaklič/Solina closed form):
+
+    ``n ∝ [cos^(2−e1)(η)·cos^(2−e2)(ω)/a1,
+           cos^(2−e1)(η)·sin^(2−e2)(ω)/a2,  sin^(2−e1)(η)/a3]``
+    with signed powers — parallel to ∇F at the surface point (tested
+    against autodiff of :func:`field_points`).
+    """
+    a, e, t, q = split_params(p)
+    ce = _spow(jnp.cos(eta), 2.0 - e[0])
+    nx = ce * _spow(jnp.cos(omega), 2.0 - e[1]) / a[0]
+    ny = ce * _spow(jnp.sin(omega), 2.0 - e[1]) / a[1]
+    nz = _spow(jnp.sin(eta), 2.0 - e[0]) / a[2] * jnp.ones_like(nx)
+    n = jnp.stack([nx, ny, nz], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    if frame == "body":
+        return n
+    return quat.rotate(n.reshape(-1, 3), q[None, :]).reshape(n.shape)
+
+
+def map_eta_omega(points: jax.Array, p: jax.Array):
+    """Inverse surface parameterization (``sq::map_eta``/``sq::map_omega``
+    in the scanner binary, SURVEY.md §2.2-N1): world-space points →
+    (η, ω) of the surface point on the same radial ray from the center.
+
+    ω = atan2(spow(y/a2, 1/e2), spow(x/a1, 1/e2));
+    η from whichever of the x/ω or y/ω branches is better conditioned
+    (|cos ω| vs |sin ω|), so poles and the ω = ±π/2 meridians are exact.
+    """
+    a, e, t, q = split_params(p)
+    body = quat.rotate(points.reshape(-1, 3) - t[None, :],
+                       quat.conjugate(q)[None, :]).reshape(points.shape)
+    x, y, z = body[..., 0] / a[0], body[..., 1] / a[1], body[..., 2] / a[2]
+    omega = jnp.arctan2(_spow(y, 1.0 / e[1]), _spow(x, 1.0 / e[1]))
+    cw, sw = jnp.cos(omega), jnp.sin(omega)
+    ce1 = jnp.where(jnp.abs(cw) > jnp.abs(sw),
+                    x / jnp.where(cw == 0, 1.0, _spow(cw, e[1])),
+                    y / jnp.where(sw == 0, 1.0, _spow(sw, e[1])))
+    eta = jnp.arctan2(_spow(z, 1.0 / e[0]), _spow(ce1, 1.0 / e[0]))
+    return eta, omega
+
+
+def signed_distance(points: jax.Array, p: jax.Array) -> jax.Array:
+    """Signed radial distance |r0|·(1 − F^(−e1/2)) — the ``sq::sdistance``
+    variant of :func:`radial_distance` (SURVEY.md §2.2-N1): positive
+    outside the surface, negative inside, zero on it.
+    """
+    _, _, t, _ = split_params(p)
+    f = field_points(points, p, guard=True)  # = F^(e1)
+    r0 = jnp.linalg.norm(points - t, axis=-1)
+    return r0 * (1.0 - jnp.power(f, -0.5))
+
+
 def sample_surface(
     p: jax.Array, n_theta: int = 64, n_gamma: int = 32, dtype=jnp.float32
 ) -> jax.Array:

@@ -9,6 +9,8 @@ bit-identical semantics — the Pallas kernel is tested against it).
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 from sqtpu.ops import losses
@@ -21,9 +23,17 @@ def _on_tpu() -> bool:
         return False
 
 
+def pallas_available() -> bool:
+    """True when the fused kernel can run: a real TPU backend, or CPU in
+    interpreter mode (SQTPU_PALLAS_INTERPRET=1 — how the virtual-device
+    mesh tests and the driver's multichip dryrun exercise the kernel)."""
+    return (_on_tpu()
+            or os.environ.get("SQTPU_PALLAS_INTERPRET", "0") == "1")
+
+
 def implicit_loss_auto(img, pred_p, render_size=64, tau=1.5,
                        sharpness=260.0):
-    if _on_tpu() and pred_p.dtype == jax.numpy.float32:
+    if pallas_available() and pred_p.dtype == jax.numpy.float32:
         try:
             from sqtpu.ops.kernels.implicit import implicit_loss_pallas
             return implicit_loss_pallas(img, pred_p, render_size, tau,

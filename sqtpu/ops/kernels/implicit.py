@@ -171,7 +171,7 @@ def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
-                par_ref, g_ref, img_ref, dpar_ref, acc_scr):
+                par_ref, g_ref, img_ref, dpar_ref, dimg_ref, acc_scr):
     rows = (n * n) // LANES
     prog = pl.program_id(0)
     tile_rows = tile_b * rows
@@ -197,8 +197,13 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
     g = jnp.full((tile_rows, LANES), 0.0, jnp.float32)
     for k in range(tile_b):
         g = jnp.where(sample == k, g_ref[prog * tile_b + k], g)
-    # d(sum|img - depth|)/d depth = sign(depth - img)
-    phi = jnp.sign(depth - img_ref[0]) * g * (tau / n)
+    # d(sum|img - depth|)/d img = sign(img - depth); emit the image
+    # cotangent so callers differentiating through images (fitting /
+    # adversarial uses) get the same gradient as the XLA path
+    sgn = jnp.sign(img_ref[0] - depth)
+    dimg_ref[0] = sgn * g
+    # d(sum|img - depth|)/d depth = -sign(img - depth)
+    phi = -sgn * g * (tau / n)
 
     acc_scr[:] = jnp.zeros((N_PAR, tile_rows, LANES), jnp.float32)
 
@@ -317,7 +322,11 @@ def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
             pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 24)
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dpar, full (B, 24)
+            pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # dimg tiles
+        ),
         scratch_shapes=[
             pltpu.VMEM((N_PAR, tile_b * rows, LANES), jnp.float32),
         ],
@@ -326,7 +335,11 @@ def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, n, tau, sharp, tile_b),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 24), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 24), jnp.float32),
+            jax.ShapeDtypeStruct((b // tile_b, tile_b * rows, LANES),
+                                 jnp.float32),
+        ),
         interpret=_INTERPRET,
     )(par, g, img_tiles)
 
@@ -342,8 +355,8 @@ def _core_fwd(img_xy, par, n, tau, sharp):
 
 def _core_bwd(n, tau, sharp, res, g):
     img_xy, par = res
-    dpar = _bwd_call(img_xy, par, g, n, tau, sharp)
-    return jnp.zeros_like(img_xy), dpar
+    dpar, dimg = _bwd_call(img_xy, par, g, n, tau, sharp)
+    return dimg.reshape(img_xy.shape), dpar
 
 
 _core.defvjp(_core_fwd, _core_bwd)

@@ -154,6 +154,53 @@ def quaternion_loss(q_pred: jax.Array, q_true: jax.Array, reduce: bool = True):
     return jnp.mean(theta) if reduce else theta
 
 
+# xyzw quaternions of the identity + 180° rotations about each principal
+# axis: the superquadric's EXACT symmetry group (F depends only on squared
+# body-frame coordinates, so R(q·f) produces the same surface for every f
+# here — two such labels render byte-identical depth images).
+SQ_FLIP_QUATS = (
+    (0.0, 0.0, 0.0, 1.0),
+    (1.0, 0.0, 0.0, 0.0),
+    (0.0, 1.0, 0.0, 0.0),
+    (0.0, 0.0, 1.0, 0.0),
+)
+
+
+def _flip_orbit(q: jax.Array) -> jax.Array:
+    """(..., 4) -> (4, ..., 4): the D2 symmetry orbit q·f (body-frame
+    flips = right multiplication)."""
+    flips = jnp.asarray(SQ_FLIP_QUATS, q.dtype)
+    return jax.vmap(lambda f: quat.multiply(q, jnp.broadcast_to(f, q.shape)))(
+        flips)
+
+
+def quaternion_loss_sym(q_pred: jax.Array, q_true: jax.Array,
+                        reduce: bool = True):
+    """Symmetry-aware quaternion loss: min over the SQ's exact D2 rotation
+    symmetry orbit of ``1 − ⟨q̂,q·f⟩²``.
+
+    Why this exists (not in the reference): the reference's
+    ``QuaternionLoss`` (``classes.py:96-106``) handles only the q ↔ −q
+    double cover. But a superquadric is also invariant under 180° flips
+    about its principal axes, so a regression target q_true is one of
+    FOUR quats producing identical geometry — plain regression averages
+    across the orbit and never learns rotation (the chance-level rotation
+    of naive supervision). Taking the min over the orbit makes the target
+    well-posed; the reference sidesteps this only via its self-supervised
+    implicit loss (``torch/train.py:62-66``).
+
+    The per-flip distance is the standard antipodal-symmetric ``1 − dot²``
+    rather than the reference's ``1 − 2|0.5 − dot²|`` shape, because the
+    latter is ALSO zero at dot = 0 — i.e. it scores a 180° error about an
+    ARBITRARY axis as perfect, which only coincides with a true symmetry
+    when that axis is principal.
+    """
+    orbit = _flip_orbit(q_true)                     # (4, ..., 4)
+    dots = jnp.sum(orbit * q_pred[None], axis=-1)   # (4, ...)
+    theta = jnp.min(1.0 - dots**2, axis=0)
+    return jnp.mean(theta) if reduce else theta
+
+
 # ---------------------------------------------------------------------------
 # Plain supervised MSE (2019 Keras pipeline)
 # ---------------------------------------------------------------------------

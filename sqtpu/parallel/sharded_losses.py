@@ -25,6 +25,45 @@ from sqtpu.ops.image import nearest_resize
 from sqtpu.ops.losses import _as_bhw
 
 
+def implicit_loss_dp(
+    img: jax.Array,
+    p: jax.Array,
+    mesh: Mesh,
+    render_size: int = 64,
+    tau: float = 1.5,
+    sharpness: float = 260.0,
+) -> jax.Array:
+    """Implicit loss with the batch sharded over 'data' and the fused
+    Pallas kernel running batch-locally on each device.
+
+    XLA cannot auto-partition a custom call, so the single-device kernel
+    under plain ``jit`` would at best replicate (gathering the full batch
+    per chip). ``shard_map`` makes the kernel see only its local batch
+    shard; the scalar means are combined with one ``pmean`` over ICI.
+    Numerically identical to :func:`sqtpu.ops.losses.implicit_loss`
+    (equal shards, so pmean of local means = global mean; asserted).
+
+    Accelerates the step of ``/root/reference/torch/train.py:80-100``.
+    """
+    n_data = mesh.shape["data"]
+    assert p.shape[0] % n_data == 0, (
+        f"batch {p.shape[0]} must divide the data axis {n_data}")
+    img_bhw = _as_bhw(img)
+
+    def local(img_l, p_l):
+        from sqtpu.ops.kernels import implicit_loss_auto
+        loss_l = implicit_loss_auto(img_l, p_l, render_size, tau, sharpness)
+        return jax.lax.pmean(loss_l, "data")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )(img_bhw, p)
+
+
 def implicit_loss_gridsharded(
     img: jax.Array,
     p: jax.Array,

@@ -19,6 +19,8 @@ class TrainConfig:
     # model / loss (reference: train.py:48, 62-66)
     model: str = "resnet_sq"          # resnet_sq | generic_sq | keras_iso | keras_rot
     loss: str = "implicit"            # implicit | explicit | leastsquares | param_mse
+    #   | supervised | supervised_sym | implicit_sym
+    aux_weight: float = 0.05          # supervised anchor in implicit_sym
     render_size: int = 64
     tau: float = 1.5
     sigmoid_sharpness: float = 260.0
@@ -56,12 +58,17 @@ class TrainConfig:
     donate: bool = True
     platform: str = ""                # override jax platform (e.g. "cpu")
 
+    # pretrained encoder: torchvision-resnet18-layout state_dict
+    # (.pt via torch, or .npz from export_torchvision_resnet18)
+    pretrained: str = ""
+
     # checkpoint / logging (train.py:38, 45)
     ckpt_dir: str = "checkpoints/run0"
     continue_training: bool = False
     resume_from: str = "best"         # best (reference parity) | last
     save_last: bool = True            # crash-recovery ckpt every epoch
     log_interval: int = 10
+    compare_images: int = 4           # epoch-0 true/pred BMP pairs (train.py:148-151)
     nan_policy: str = "warn"          # warn | skip
     profile_dir: str = ""             # set to emit a jax.profiler trace
 

@@ -104,20 +104,63 @@ def depth_grid(true_imgs, pred_imgs, out_png: str, max_n: int = 8):
     plt.close(fig)
 
 
+PLOT_RENDER_MODES = ("all", "in", "in_inv", "bit", "shell")
+
+
 def voxel_scatter(p: jax.Array, out_png: str, n: int = 24,
-                  mode: str = "in"):
-    """3-D scatter of the inside voxels (plot_render 'in' mode)."""
+                  mode: str = "in", eps: float = 0.1):
+    """3-D scatter of a voxelized field — all five ``plot_render`` display
+    modes of the reference (``helpers.py:117-133``):
+
+    * ``"all"``    — every voxel, colored by field value
+    * ``"in"``     — voxels with F ≤ 1 (inside), rest faint (α=0.2)
+    * ``"in_inv"`` — voxels with F > 0.9, rest faint
+    * ``"bit"``    — voxels with F exactly 1 (binarized input semantics)
+    * ``"shell"``  — |F − 1| < eps, the surface shell
+    """
+    if mode not in PLOT_RENDER_MODES:
+        raise ValueError(f"mode {mode!r} not in {PLOT_RENDER_MODES}")
     plt = _plt()
     ax1d = geometry.make_axis(n, "iou", dtype=p.dtype)
     f = np.asarray(geometry.field_grid(ax1d, ax1d, ax1d, p, guard=False))
     g = np.meshgrid(np.asarray(ax1d), np.asarray(ax1d), np.asarray(ax1d),
                     indexing="ij")
-    mask = f <= 1 if mode in ("in", "bit") else f >= 0
+    if mode == "all":
+        disp, opacity = f >= 0, 0.0
+    elif mode == "in":
+        disp, opacity = f <= 1, 0.2
+    elif mode == "in_inv":
+        disp, opacity = f > 0.9, 0.2
+    elif mode == "bit":
+        disp, opacity = f == 1, 0.0
+    else:  # shell
+        disp, opacity = (f < 1 + eps) & (f > 1 - eps), 0.0
     fig = plt.figure()
     ax = fig.add_subplot(projection="3d")
-    ax.scatter(g[0][mask], g[1][mask], g[2][mask], c=f[mask], cmap="jet",
+    ax.scatter(g[0][disp], g[1][disp], g[2][disp], c=f[disp], cmap="jet",
                marker="o", s=4)
+    if opacity > 0:
+        hid = ~disp
+        ax.scatter(g[0][hid], g[1][hid], g[2][hid], c=f[hid], cmap="jet",
+                   marker="o", s=2, alpha=opacity)
     ax.set(xlim=(0, 1), ylim=(0, 1), zlim=(0, 1))
+    fig.savefig(out_png, dpi=100)
+    plt.close(fig)
+
+
+def plot_points(points, out_png: str, lims=(-1.0, 1.0)):
+    """3-D point scatter (``helpers.py:176-185`` ``plot_points``) —
+    e.g. for depth-image point lifts or SQ surface samples.
+    ``points``: (N, 3) array."""
+    plt = _plt()
+    pts = np.asarray(points)
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], marker="o")
+    ax.set(xlim=lims, ylim=lims, zlim=lims)
+    ax.set_xlabel("X Axis")
+    ax.set_ylabel("Y Axis")
+    ax.set_zlabel("Z Axis")
     fig.savefig(out_png, dpi=100)
     plt.close(fig)
 

@@ -80,10 +80,69 @@ def test_unsupported_size_falls_back(batch):
     assert got == pytest.approx(ref, rel=1e-6)
 
 
-def test_dispatcher_on_cpu_uses_xla(batch):
-    from sqtpu.ops.kernels import implicit_loss_auto
+def test_dispatcher_on_cpu_uses_xla(batch, monkeypatch):
+    from sqtpu.ops.kernels import implicit_loss_auto, pallas_available
 
     imgs, p = batch
     ref = float(losses.implicit_loss(imgs, p, 32, 1.5, 260.0))
+    # interpret mode (set at module import): the kernel path is available
+    assert pallas_available()
+    got = float(implicit_loss_auto(imgs, p, 32, 1.5, 260.0))
+    assert got == pytest.approx(ref, rel=1e-5)
+    # without interpret mode on CPU the dispatcher must use XLA
+    monkeypatch.delenv("SQTPU_PALLAS_INTERPRET")
+    assert not pallas_available()
     got = float(implicit_loss_auto(imgs, p, 32, 1.5, 260.0))
     assert got == pytest.approx(ref, rel=1e-6)
+
+
+def test_image_gradient_matches_xla(batch):
+    """The kernel emits the true image cotangent (sign(img-depth)·g), not
+    zeros — image-fitting / adversarial uses differentiate through it.
+
+    Uses noise images: the cotangent is a pure sign, and at exact-tie
+    pixels (rendered backgrounds, where img == depth == 0) the two
+    paths' fp32 rounding can legitimately disagree on sign(0±ulp).
+    """
+    from sqtpu.ops.kernels.implicit import implicit_loss_pallas
+
+    _, p = batch
+    imgs = jax.random.uniform(jax.random.PRNGKey(3), (4, 32, 32),
+                              jnp.float32, 0.05, 0.9)
+    g_ref = np.asarray(jax.grad(
+        lambda im: losses.implicit_loss(im, p, 32, 1.5, 260.0))(imgs))
+    g_pal = np.asarray(jax.grad(
+        lambda im: implicit_loss_pallas(im, p, 32, 1.5, 260.0))(imgs))
+    assert np.abs(g_ref).sum() > 0
+    np.testing.assert_allclose(g_pal, g_ref, rtol=1e-4, atol=1e-8)
+
+
+def test_dp_shard_map_matches_unsharded(batch):
+    """DP x Pallas (VERDICT weak #4): the shard_map-wrapped kernel over
+    the 8-virtual-device 'data' axis must match the unsharded XLA loss in
+    value and parameter gradient."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sqtpu.parallel.mesh import make_mesh
+    from sqtpu.parallel.sharded_losses import implicit_loss_dp
+
+    imgs, p = batch
+    imgs8 = jnp.concatenate([imgs, jnp.flip(imgs, axis=0)])     # batch 8
+    p8 = jnp.concatenate([p, jnp.roll(p, 1, axis=0)])
+    mesh = make_mesh(n_data=8, n_grid=1)
+    sh = NamedSharding(mesh, P("data"))
+    imgs8 = jax.device_put(imgs8, sh)
+    p8 = jax.device_put(p8, sh)
+
+    ref_v, ref_g = jax.value_and_grad(
+        lambda pp: losses.implicit_loss(imgs8, pp, 32, 1.5, 260.0))(p8)
+
+    @jax.jit
+    def dp_loss_grad(pp):
+        return jax.value_and_grad(
+            lambda q: implicit_loss_dp(imgs8, q, mesh, 32, 1.5, 260.0))(pp)
+
+    with mesh:
+        got_v, got_g = dp_loss_grad(p8)
+    assert float(got_v) == pytest.approx(float(ref_v), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=5e-3, atol=1e-6)

@@ -1,0 +1,108 @@
+"""SQ rotation-symmetry-aware losses and metrics.
+
+A superquadric is exactly invariant under 180° rotations about its
+principal axes (its inside-outside F uses squared body coordinates), so
+a quaternion label is only defined up to that D2 orbit. These tests pin
+(a) the geometric fact itself (flipped params render identical images /
+IoU 1.0) and (b) that the sym-aware loss/metric are zero across the
+orbit while the raw ones are not.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqtpu.ops import geometry, losses, metrics
+from sqtpu.ops import quaternion as quat
+from sqtpu.ops.render import render_depth_hard
+
+
+@pytest.fixture(scope="module")
+def params():
+    key = jax.random.PRNGKey(5)
+    ka, ke, kt, kq = jax.random.split(key, 4)
+    b = 3
+    return jnp.concatenate([
+        jax.random.uniform(ka, (b, 3), jnp.float32, 25 / 255, 75 / 255),
+        jax.random.uniform(ke, (b, 2), jnp.float32, 0.1, 1.0),
+        jax.random.uniform(kt, (b, 3), jnp.float32, 88 / 255, 168 / 255),
+        quat.random_uniform(kq, (b,), jnp.float32),
+    ], axis=-1)
+
+
+def _flipped(p, flip_idx):
+    f = jnp.asarray(losses.SQ_FLIP_QUATS[flip_idx], p.dtype)
+    a, e, t, q = geometry.split_params(p)
+    qf = quat.multiply(q, jnp.broadcast_to(f, q.shape))
+    return jnp.concatenate([a, e, t, qf], axis=-1)
+
+
+@pytest.mark.parametrize("flip_idx", [1, 2, 3])
+def test_flips_are_exact_geometric_symmetries(params, flip_idx):
+    """Flipped params produce the SAME voxelization (IoU 1.0) and the
+    same rendered depth image — the labels are genuinely ambiguous."""
+    pf = _flipped(params, flip_idx)
+    per = metrics.iou(params, pf, render_size=32, reduce=False)
+    np.testing.assert_allclose(np.asarray(per), 1.0, atol=1e-6)
+
+    img_a = render_depth_hard(params[0], 64, quantize=True)
+    img_b = render_depth_hard(pf[0], 64, quantize=True)
+    # hard renders bit-match except bisection rounding at silhouette edges
+    same = np.mean(np.asarray(img_a) == np.asarray(img_b))
+    assert same > 0.999
+
+
+def test_sym_quaternion_loss_zero_on_orbit(params):
+    _, _, _, q = geometry.split_params(params)
+    for flip_idx in range(4):
+        qf = geometry.split_params(_flipped(params, flip_idx)).q
+        v = float(losses.quaternion_loss_sym(qf, q))
+        assert v < 1e-4, f"flip {flip_idx}: {v}"
+        # ... and for -q too (double cover)
+        v = float(losses.quaternion_loss_sym(-qf, q))
+        assert v < 1e-4
+    # a genuinely different rotation is NOT zero
+    q_other = quat.random_uniform(jax.random.PRNGKey(9), (3,), jnp.float32)
+    assert float(losses.quaternion_loss_sym(q_other, q)) > 0.05
+
+
+def test_sym_angle_error_zero_on_orbit(params):
+    _, _, _, q = geometry.split_params(params)
+    for flip_idx in range(1, 4):
+        qf = geometry.split_params(_flipped(params, flip_idx)).q
+        raw = np.asarray(metrics.angle_error(q, qf))
+        sym = np.asarray(metrics.angle_error_sym(q, qf))
+        np.testing.assert_allclose(raw, np.pi, atol=1e-5)  # raw sees a flip
+        np.testing.assert_allclose(sym, 0.0, atol=1e-5)    # sym does not
+
+
+def test_iou_full_four_columns(params):
+    out = np.asarray(metrics.iou_full(params, jnp.roll(params, 1, axis=0),
+                                      render_size=16))
+    assert out.shape == (3, 4)
+    assert np.all(out[:, 3] <= out[:, 2] + 1e-6)  # sym-angle <= raw angle
+
+
+def test_sym_loss_well_posed_on_sphere(params):
+    """The TANGENT gradient (ambient grad projected onto the unit-sphere
+    tangent space) must vanish at every orbit member — each is a true
+    minimum. And unlike the reference loss shape, a 180° error about a
+    NON-principal axis must NOT score zero."""
+    _, _, _, q = geometry.split_params(params)
+    for flip_idx in range(4):
+        qf = geometry.split_params(_flipped(params, flip_idx)).q
+        g = np.asarray(jax.grad(
+            lambda qp: losses.quaternion_loss_sym(qp, q))(qf))
+        qf_n = np.asarray(qf)
+        g_tan = g - (g * qf_n).sum(-1, keepdims=True) * qf_n
+        assert np.abs(g_tan).max() < 1e-4, f"flip {flip_idx}"
+
+    # 180° about the axis bisecting x/y (not principal for generic SQs)
+    f_diag = jnp.asarray([1.0, 1.0, 0.0, 0.0], q.dtype) / jnp.sqrt(2.0)
+    q_bad = quat.multiply(q, jnp.broadcast_to(f_diag, q.shape))
+    v = np.asarray(losses.quaternion_loss_sym(q_bad, q, reduce=False))
+    assert np.all(v > 0.2)
+    # ...whereas the reference shape scores it (wrongly) as near-perfect
+    ref = np.asarray(losses.quaternion_loss(q_bad, q, reduce=False))
+    assert np.all(np.abs(ref) < 0.5)

@@ -53,3 +53,25 @@ def test_eval_single_cli(tmp_path, capsys):
     assert pred.shape == (12,)
     out = capsys.readouterr().out
     assert "Size a:" in out and "Rotation q:" in out
+
+
+def test_voxel_scatter_all_modes(base_p, tmp_path):
+    """One artifact per plot_render display mode (helpers.py:117-133)."""
+    from sqtpu.viz import PLOT_RENDER_MODES, voxel_scatter
+
+    for mode in PLOT_RENDER_MODES:
+        out = tmp_path / f"vox_{mode}.png"
+        voxel_scatter(base_p, str(out), n=10, mode=mode)
+        assert out.exists() and out.stat().st_size > 1000
+    with pytest.raises(ValueError):
+        voxel_scatter(base_p, str(tmp_path / "x.png"), n=8, mode="nope")
+
+
+def test_plot_points(base_p, tmp_path):
+    from sqtpu.ops.geometry import sample_surface
+    from sqtpu.viz import plot_points
+
+    pts = sample_surface(base_p, n_theta=8, n_gamma=4)
+    out = tmp_path / "points.png"
+    plot_points(pts, str(out))
+    assert out.exists() and out.stat().st_size > 1000
