@@ -201,22 +201,35 @@ class SyntheticResident:
             MetricLogger.line(f"loaded synthetic dataset cache {cache}")
         else:
             key = jax.random.PRNGKey(seed)
+            n_pad = ((size + chunk - 1) // chunk) * chunk
 
-            @partial(jax.jit, static_argnames=())
-            def gen_chunk(k):
-                imgs, labels = make_batch(
+            # Fill a preallocated uint8 volume in place (donated buffers):
+            # chunk-list + concatenate would transiently hold 2x the
+            # dataset in HBM and OOM a 16 GB chip at ~100k 256^2 images.
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def fill_chunk(images, labels, k, start):
+                imgs, lbls = make_batch(
                     k, chunk, cfg.image_size, cfg.renderer, iso=cfg.iso
                 )
-                return (imgs[..., 0] * 255.0).astype(jnp.uint8), labels
+                u8 = (imgs[..., 0] * 255.0).astype(jnp.uint8)
+                images = jax.lax.dynamic_update_slice_in_dim(
+                    images, u8, start, axis=0)
+                labels = jax.lax.dynamic_update_slice_in_dim(
+                    labels, lbls, start, axis=0)
+                return images, labels
 
-            img_chunks, lbl_chunks = [], []
-            for i in range(0, size, chunk):
+            images = jnp.zeros((n_pad, cfg.image_size, cfg.image_size),
+                               jnp.uint8)
+            labels = jnp.zeros((n_pad, 12), jnp.float32)
+            for i in range(0, n_pad, chunk):
                 k = jax.random.fold_in(key, i)
-                im, lb = gen_chunk(k)
-                img_chunks.append(im)
-                lbl_chunks.append(lb)
-            self.images = jnp.concatenate(img_chunks)[:size]  # (N,S,S) uint8
-            self.labels = jnp.concatenate(lbl_chunks)[:size]  # (N, 12)
+                images, labels = fill_chunk(images, labels, k,
+                                            jnp.asarray(i, jnp.int32))
+            # keep the chunk-padded arrays: a [:size] slice would COPY
+            # (another transient 2x); the extra tail images are real data
+            size = self.size = n_pad
+            self.images = images  # (N, S, S) uint8
+            self.labels = labels  # (N, 12)
             if cache:
                 os.makedirs(os.path.dirname(cache), exist_ok=True)
                 np.savez(cache, images=np.asarray(self.images),
