@@ -201,6 +201,39 @@ def quaternion_loss_sym(q_pred: jax.Array, q_true: jax.Array,
     return jnp.mean(theta) if reduce else theta
 
 
+def rotation_moment_loss(q_pred: jax.Array, p_true: jax.Array,
+                         reduce: bool = True):
+    """Observability-weighted rotation supervision: match the SQ's
+    normalized second-moment orientation matrix Σ = R·diag(σ²)·Rᵀ.
+
+    σ² are the per-axis direction variances recovered from the ANALYTIC
+    inertia integrals (:func:`sqtpu.ops.geometry.inertia`:
+    Ixx = V(σy²+σz²) etc., so V·σ² = ΣI/2 − I), normalized to sum 1.
+    Both sides use the TRUE size/shape, so this is pure rotation
+    supervision. Properties that plain quaternion regression lacks:
+
+    * exactly invariant under the D2 flip orbit (R(f)·diag·R(f)ᵀ = diag);
+    * smooth everywhere (quadratic matrix distance, no orbit min);
+    * the penalty for misrotation about axis pair (i, j) scales with
+      |σi² − σj²| — when the true shape is rotationally symmetric in a
+      plane (a_i ≈ a_j), the unobservable rotation component contributes
+      NO gradient noise, the failure mode of direct quat regression.
+    """
+    from sqtpu.ops import geometry
+    a, e, t, q_t = geometry.split_params(p_true)
+    inert = geometry.inertia(p_true)                       # (..., 3)
+    vs = jnp.sum(inert, -1, keepdims=True) / 2.0 - inert   # V·σ² per axis
+    u = vs / jnp.sum(vs, -1, keepdims=True)
+
+    def second_moment(q):
+        rot = quat.to_matrix(q)                            # (..., 3, 3)
+        return jnp.einsum("...ik,...k,...jk->...ij", rot, u, rot)
+
+    d = second_moment(q_pred) - second_moment(q_t)
+    per = jnp.sum(d * d, axis=(-2, -1))
+    return jnp.mean(per) if reduce else per
+
+
 # ---------------------------------------------------------------------------
 # Plain supervised MSE (2019 Keras pipeline)
 # ---------------------------------------------------------------------------

@@ -93,6 +93,15 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         quat_l = losses.quaternion_loss_sym(pred[..., 8:12],
                                             labels[..., 8:12])
         return block + quat_l
+    if cfg.loss == "supervised_geo":
+        # supervised_sym + the observability-weighted second-moment
+        # orientation term (see losses.rotation_moment_loss) — the
+        # round-2 rotation warm-up recipe
+        block = losses.param_mse(pred[..., :8], labels[..., :8])
+        quat_l = losses.quaternion_loss_sym(pred[..., 8:12],
+                                            labels[..., 8:12])
+        geo = losses.rotation_moment_loss(pred[..., 8:12], labels)
+        return block + quat_l + cfg.geo_weight * geo
     if cfg.loss == "implicit_sym":
         # self-supervised depth MAE anchored by a small symmetry-aware
         # supervised term (rotation warm-up -> implicit fine-tune recipe)

@@ -21,6 +21,7 @@ class TrainConfig:
     loss: str = "implicit"            # implicit | explicit | leastsquares | param_mse
     #   | supervised | supervised_sym | implicit_sym
     aux_weight: float = 0.05          # supervised anchor in implicit_sym
+    geo_weight: float = 5.0           # second-moment term in supervised_geo
     render_size: int = 64
     tau: float = 1.5
     sigmoid_sharpness: float = 260.0

@@ -106,3 +106,21 @@ def test_sym_loss_well_posed_on_sphere(params):
     # ...whereas the reference shape scores it (wrongly) as near-perfect
     ref = np.asarray(losses.quaternion_loss(q_bad, q, reduce=False))
     assert np.all(np.abs(ref) < 0.5)
+
+
+def test_rotation_moment_loss_properties(params):
+    """Observability-weighted second-moment rotation loss: zero at truth
+    and at every D2 flip, zero for rotationally-symmetric shapes (no
+    gradient noise from unobservable rotation), positive otherwise."""
+    _, _, _, q = geometry.split_params(params)
+    assert float(losses.rotation_moment_loss(q, params)) < 1e-10
+    for flip_idx in range(1, 4):
+        qf = geometry.split_params(_flipped(params, flip_idx)).q
+        assert float(losses.rotation_moment_loss(qf, params)) < 1e-10
+    q_other = quat.random_uniform(jax.random.PRNGKey(3), (3,),
+                                  params.dtype)
+    assert float(losses.rotation_moment_loss(q_other, params)) > 1e-3
+    # spheres: any rotation is correct -> exactly zero loss
+    p_sph = params.at[:, 1].set(params[:, 0]).at[:, 2].set(params[:, 0])
+    p_sph = p_sph.at[:, 3].set(1.0).at[:, 4].set(1.0)
+    assert float(losses.rotation_moment_loss(q_other, p_sph)) < 1e-10
