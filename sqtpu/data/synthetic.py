@@ -59,12 +59,14 @@ def make_batch(
     """
     p = sample_params(key, batch, iso=iso)
     if renderer == "hard":
-        # 64 z-sweep slabs cannot miss the thinnest SQ in the data
-        # distribution (diameter 2*25/255 ~ 0.196 >> 1/63 spacing) and
-        # make bulk generation ~3.4x cheaper than a per-pixel-row sweep.
+        # The sweep is bounded to the SQ's z-support window (see
+        # render_depth_hard), so 32 slabs give ≤0.013 spacing — finer
+        # than a full-range 64-slab sweep — and 12 bisection steps
+        # resolve z to ~3e-6 ≪ the 1/255 quantization. ~5.8x cheaper
+        # bulk generation than a per-pixel-row full sweep.
         imgs = jax.vmap(
-            lambda pi: render_depth_hard(pi, image_size, n_bisect=16,
-                                         quantize=True, n_sweep=64)
+            lambda pi: render_depth_hard(pi, image_size, n_bisect=12,
+                                         quantize=True, n_sweep=32)
         )(p)
     elif renderer == "soft":
         imgs = jax.vmap(
