@@ -21,7 +21,9 @@ class TrainConfig:
     loss: str = "implicit"            # implicit | explicit | leastsquares | param_mse
     #   | supervised | supervised_sym | implicit_sym
     aux_weight: float = 0.05          # supervised anchor in implicit_sym
-    geo_weight: float = 5.0           # second-moment term in supervised_geo
+    geo_weight: float = 1.0           # second-moment term in supervised_geo
+    # (keep small: at 5.0 the term drowns the param-MSE gradients and
+    # stalls size/position learning — measured on-chip, round 2)
     render_size: int = 64
     tau: float = 1.5
     sigmoid_sharpness: float = 260.0
