@@ -149,28 +149,22 @@ def eval_random(cfg: EvalConfig):
     f.close()
 
     # ---- predict-only latency (reference semantics: model.predict alone,
-    # py/test_isometry.py:47-52, which ran batch 1)
+    # py/test_isometry.py:47-52, which ran batch 1); reuses the final
+    # batch's already-rendered images
     @jax.jit
     def predict_only(variables, imgs):
         return params_vector(model.apply(variables, imgs, train=False))
 
-    import time as _time
-    key0 = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0)
-    p0 = sample_params(key0, cfg.batch_size)
-    imgs0 = jax.vmap(
-        lambda pi: render_depth_hard(pi, cfg.image_size, n_bisect=16,
-                                     quantize=True, n_sweep=64))(p0)[..., None]
-    one = imgs0[:1]
     predict_latency = {}
-    for name, x in (("batch1", one), (f"batch{cfg.batch_size}", imgs0)):
+    for name, x in (("batch1", imgs[:1]), (f"batch{cfg.batch_size}", imgs)):
         _ = np.asarray(predict_only(variables, x))  # compile + warm
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         reps = 10
         for _ in range(reps):
             out = predict_only(variables, x)
         _ = float(out[0, 0])  # fence (block_until_ready unreliable here)
         predict_latency[name] = (
-            (_time.perf_counter() - t0) / (reps * x.shape[0]))
+            (time.perf_counter() - t0) / (reps * x.shape[0]))
 
     triples = np.concatenate(all_triples)[: cfg.n]
     maes = np.concatenate(all_mae)[: cfg.n]

@@ -48,7 +48,10 @@ from sqtpu.ops.losses import _as_bhw
 
 LANES = 128
 N_PAR = 17
-_INTERPRET = os.environ.get("SQTPU_PALLAS_INTERPRET", "0") == "1"
+def _interpret() -> bool:
+    """Interpreter mode, read at TRACE time (not import time) so it
+    always agrees with :func:`sqtpu.ops.kernels.pallas_available`."""
+    return os.environ.get("SQTPU_PALLAS_INTERPRET", "0") == "1"
 
 
 def _supported(n: int) -> bool:
@@ -307,7 +310,7 @@ def _fwd_call(img_xy, par, n: int, tau: float, sharp: float):
         functools.partial(_fwd_kernel, n, tau, sharp, tile_b),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(par, img_tiles)[:, 0]
 
 
@@ -340,7 +343,7 @@ def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
             jax.ShapeDtypeStruct((b // tile_b, tile_b * rows, LANES),
                                  jnp.float32),
         ),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(par, g, img_tiles)
 
 

@@ -114,13 +114,13 @@ def render_depth_hard(
 
     ``n_sweep`` controls the coarse z-sweep slab count (default =
     ``image_size``). The sweep covers only the SQ's support window along
-    z (2h ≈ 0.4 worst-case for the reference data distribution, vs the
-    full [0,1] cube), so slab spacing at ``n_sweep=32`` is ≤ 0.013 —
-    finer than the old full-range 64-slab sweep — and the thinnest SQ
-    (diameter ≈ 0.196) can never be missed. Grazing silhouette rays
-    whose inside chord is shorter than a slab can still be skipped;
-    use the default for scanner byte-parity, 32 for bulk training data
-    (~5x cheaper).
+    z (typically 2h ≈ 0.6 for the reference data distribution; worst
+    case ≈ 1.0 for a max-size SQ tilted along (1,1,1)), so slabs are
+    typically ~2.5x finer than a full-[0,1] sweep of the same count and
+    never coarser than 1/(n_sweep−1). The thinnest SQ (diameter ≈ 0.196)
+    can never be missed; grazing silhouette rays whose inside chord is
+    shorter than a slab can be. Use the default for scanner byte-parity,
+    48 for bulk training data.
     """
     dtype = p.dtype
     s = image_size

@@ -201,16 +201,21 @@ class SyntheticResident:
     def __init__(self, cfg: TrainConfig, size: int, seed: int = 0,
                  chunk: int = 256):
         self.cfg = cfg
+        # pad the requested size up to the generation chunk BEFORE the
+        # cache lookup so cached and freshly-generated datasets have the
+        # same size and hence the same train/val split
+        size = ((size + chunk - 1) // chunk) * chunk
         self.size = size
         cache = self._cache_path(cfg, size, seed)
         if cache and os.path.exists(cache):
             data = np.load(cache)
             self.images = jnp.asarray(data["images"])
             self.labels = jnp.asarray(data["labels"])
+            size = self.size = int(self.images.shape[0])
             MetricLogger.line(f"loaded synthetic dataset cache {cache}")
         else:
             key = jax.random.PRNGKey(seed)
-            n_pad = ((size + chunk - 1) // chunk) * chunk
+            n_pad = size
 
             # Fill a preallocated uint8 volume in place (donated buffers):
             # chunk-list + concatenate would transiently hold 2x the
@@ -234,9 +239,6 @@ class SyntheticResident:
                 k = jax.random.fold_in(key, i)
                 images, labels = fill_chunk(images, labels, k,
                                             jnp.asarray(i, jnp.int32))
-            # keep the chunk-padded arrays: a [:size] slice would COPY
-            # (another transient 2x); the extra tail images are real data
-            size = self.size = n_pad
             self.images = images  # (N, S, S) uint8
             self.labels = labels  # (N, 12)
             if cache:
@@ -442,7 +444,9 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         history["val_acc"].append(val_acc)
 
         if (epoch == 0 and cfg.ckpt_dir and cfg.compare_images > 0
-                and val_first is not None):
+                and val_first is not None
+                and val_first[1].shape[-1] == 12):
+            # (guarded: 8-param models — keras_iso — can't be rendered)
             # epoch-0 true/pred compare renders, reference parity
             # (torch/train.py:148-151 -> helpers.py:71-81)
             _save_compare_images(cfg, val_first[0], val_first[1],

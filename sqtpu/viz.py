@@ -115,7 +115,10 @@ def voxel_scatter(p: jax.Array, out_png: str, n: int = 24,
     * ``"all"``    — every voxel, colored by field value
     * ``"in"``     — voxels with F ≤ 1 (inside), rest faint (α=0.2)
     * ``"in_inv"`` — voxels with F > 0.9, rest faint
-    * ``"bit"``    — voxels with F exactly 1 (binarized input semantics)
+    * ``"bit"``    — the binarized occupancy (F ≤ 1 -> 1) at full alpha
+      (the reference applied ``== 1`` to an already-binarized input
+      array; on the continuous field that set has measure zero, so the
+      field is binarized first)
     * ``"shell"``  — |F − 1| < eps, the surface shell
     """
     if mode not in PLOT_RENDER_MODES:
@@ -132,6 +135,7 @@ def voxel_scatter(p: jax.Array, out_png: str, n: int = 24,
     elif mode == "in_inv":
         disp, opacity = f > 0.9, 0.2
     elif mode == "bit":
+        f = (f <= 1).astype(np.float32)
         disp, opacity = f == 1, 0.0
     else:  # shell
         disp, opacity = (f < 1 + eps) & (f > 1 - eps), 0.0
