@@ -92,12 +92,19 @@ def eval_random(cfg: EvalConfig):
     def batch_eval(variables, key):
         # model weights ride as arguments (closure capture would embed
         # them in the HLO as constants)
-        p_true = sample_params(key, cfg.batch_size)
+        p_true = sample_params(key, cfg.batch_size, iso=cfg.iso)
         imgs = jax.vmap(
             lambda pi: render_depth_hard(pi, cfg.image_size, n_bisect=16,
                                          quantize=True, n_sweep=64)
         )(p_true)[..., None]
         p_pred = params_vector(model.apply(variables, imgs, train=False))
+        if p_pred.shape[-1] == 8:
+            # 2019 isometry family (py/test_isometry.py protocol): the
+            # view quaternion is fixed; pad it in so the IoU tuple and
+            # renders still apply, and score MAE on the 8 predicted values
+            p_pred = jnp.concatenate(
+                [p_pred, jnp.broadcast_to(p_true[:, 8:12], p_true[
+                    :, 8:12].shape)], axis=-1)
         triple = metrics.iou_full(p_true, p_pred, cfg.acc_render_size)
         mae = jnp.abs(p_pred - p_true)
         return p_true, p_pred, triple, mae, imgs

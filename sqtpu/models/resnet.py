@@ -106,5 +106,9 @@ class ResNetSQ(nn.Module):
 
 def params_vector(outputs) -> jnp.ndarray:
     """Concatenate the 4-tuple model output into the (B, 12) canonical
-    vector (``torch/train.py:89``)."""
-    return jnp.concatenate(outputs, axis=-1)
+    vector (``torch/train.py:89``). Models that already emit a single
+    (B, k) array (the 2019 Keras nets) pass through unchanged —
+    ``jnp.concatenate`` on a bare array would flatten it row-wise."""
+    if isinstance(outputs, (tuple, list)):
+        return jnp.concatenate(outputs, axis=-1)
+    return outputs

@@ -83,6 +83,7 @@ class TrainConfig:
 class EvalConfig:
     ckpt_dir: str = "checkpoints/run0"
     model: str = "resnet_sq"
+    iso: bool = False                 # 2019 isometric-view protocol
     n: int = 1000
     batch_size: int = 32
     acc_render_size: int = 128        # test_random.py:25

@@ -89,3 +89,18 @@ def test_fit_view(base_p, tmp_path):
     frames = fit_view(cfg, base_p.astype(jnp.float32), str(out), n_frames=3)
     assert out.exists() and out.stat().st_size > 1000
     assert len(frames) == 3
+
+
+def test_eval_random_iso_model(tmp_path):
+    """2019-family eval: 8-param keras_iso model through eval_random
+    (py/test_isometry.py protocol — fixed view quat padded in)."""
+    from sqtpu.evaluate import eval_random
+    from sqtpu.utils.config import EvalConfig
+
+    cfg = EvalConfig(ckpt_dir=str(tmp_path / "none"), model="keras_iso",
+                     iso=True, n=4, batch_size=2, image_size=32,
+                     acc_render_size=16, out_dir=str(tmp_path / "out"))
+    res = eval_random(cfg)
+    assert np.isfinite(res["full_iou_mean"])
+    assert len(res["param_mae"]) == 12
+    assert np.allclose(res["param_mae"][8:], 0.0, atol=1e-6)  # padded quat
