@@ -376,6 +376,13 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         state = tree
         history = {"loss": [], "val_loss": [], "val_acc": [],
                    **{k: list(v) for k, v in history.items()}}
+        if cfg.reset_lr > 0:
+            # loss-switch fine-tunes resume from a plateau-decayed LR;
+            # this restores a sensible starting LR (and the best-val
+            # baseline no longer applies across losses, so clear it)
+            state = set_lr(state, cfg.reset_lr)
+            history["val_loss"] = []
+            MetricLogger.line(f"reset LR to {cfg.reset_lr:g} on resume")
 
     scheduler = ReduceLROnPlateau(get_lr(state), cfg.plateau_patience,
                                   cfg.plateau_factor)
@@ -457,7 +464,9 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
             new_lr = step_schedule_2019(epoch)
         else:
             new_lr = scheduler.step(val_loss)
-        if new_lr != get_lr(state):
+        if abs(new_lr - get_lr(state)) > 1e-6 * max(new_lr, 1e-12):
+            # tolerance: the scheduler's float64 lr vs the state's fp32
+            # copy differ in the last ulp forever after a reduction
             MetricLogger.line(f"Reducing learning rate to {new_lr:g}")
             state = set_lr(state, new_lr)
 

@@ -69,6 +69,7 @@ class TrainConfig:
     ckpt_dir: str = "checkpoints/run0"
     continue_training: bool = False
     resume_from: str = "best"         # best (reference parity) | last
+    reset_lr: float = 0.0             # >0: override LR after resume (loss switch)
     save_last: bool = True            # crash-recovery ckpt every epoch
     log_interval: int = 10
     compare_images: int = 4           # epoch-0 true/pred BMP pairs (train.py:148-151)
