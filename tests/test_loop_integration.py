@@ -89,3 +89,25 @@ def test_train_supervised_loss():
     )
     _, history = train(cfg, synthetic_size=8)
     assert np.isfinite(history["loss"][0])
+
+
+def test_resume_with_loss_switch_and_reset_lr(tmp_path):
+    """The warm-up -> fine-tune recipe: resume a supervised_sym
+    checkpoint with loss=implicit_sym and an LR override."""
+    from sqtpu.training.state import create_train_state, get_lr
+
+    cfg = TrainConfig(
+        max_epochs=1, steps_per_epoch=2, val_steps=1, batch_size=2,
+        image_size=32, render_size=16, acc_render_size=16,
+        loss="supervised_sym", use_pallas=False, donate=False,
+        ckpt_dir=str(tmp_path / "run"), log_interval=100,
+    )
+    train(cfg, synthetic_size=8)
+    cfg2 = TrainConfig(**{**cfg.__dict__, "max_epochs": 2,
+                          "loss": "implicit_sym", "aux_weight": 0.1,
+                          "continue_training": True, "reset_lr": 5e-5})
+    state, history = train(cfg2, synthetic_size=8)
+    assert np.isfinite(history["loss"]).all()
+    assert get_lr(state) == pytest.approx(5e-5, rel=1e-5)
+    # val_loss history cleared on loss switch: only resumed epochs remain
+    assert len(history["val_loss"]) == 2
