@@ -179,9 +179,14 @@ def make_eval_step(model, cfg: TrainConfig, mesh=None):
         loss = _compute_loss(cfg, pred, imgs, labels, mesh)
         if pred.shape[-1] == 12:
             acc = metrics.iou(labels, pred, cfg.acc_render_size)
+            # rotation error modulo the SQ's exact D2 symmetry — the
+            # per-epoch curve VERDICT's rotation story is judged on
+            ang = jnp.mean(metrics.angle_error_sym(labels[..., 8:12],
+                                                   pred[..., 8:12]))
         else:
             acc = -losses.param_mae(pred, labels[..., : pred.shape[-1]])
-        return loss, acc, pred
+            ang = jnp.zeros((), imgs.dtype)
+        return loss, acc, ang, pred
 
     return step
 
@@ -434,21 +439,24 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         epoch_rate = meter.rate  # honest: the stack fetch above is a fence
         history["loss"].append(train_loss)
 
-        val_losses, val_accs = [], []
+        val_losses, val_accs, val_angs = [], [], []
         val_first = None
         for imgs, labels in val_batches(val_key):
-            l, a, pred = eval_step(state, imgs, labels)
+            l, a, ang, pred = eval_step(state, imgs, labels)
             if val_first is None:
                 val_first = (imgs, pred)
             val_losses.append(l)
             val_accs.append(a)
+            val_angs.append(ang)
         if val_losses:
             val_loss = float(np.mean(jax.device_get(jnp.stack(val_losses))))
             val_acc = float(np.mean(jax.device_get(jnp.stack(val_accs))))
+            val_ang = float(np.mean(jax.device_get(jnp.stack(val_angs))))
         else:
-            val_loss = val_acc = float("nan")
+            val_loss = val_acc = val_ang = float("nan")
         history["val_loss"].append(val_loss)
         history["val_acc"].append(val_acc)
+        history.setdefault("val_angle_sym", []).append(val_ang)
 
         if (epoch == 0 and cfg.ckpt_dir and cfg.compare_images > 0
                 and val_first is not None
@@ -484,8 +492,8 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
             f"Epoch {epoch}: loss {train_loss:.6f}  val_loss {val_loss:.6f} "
             f"val_acc {val_acc:.6f}  {epoch_rate:.0f} imgs/s{saved}")
         logger.log(epoch=epoch, loss=train_loss, val_loss=val_loss,
-                   val_acc=val_acc, lr=get_lr(state),
-                   imgs_per_sec=epoch_rate)
+                   val_acc=val_acc, val_angle_sym=val_ang,
+                   lr=get_lr(state), imgs_per_sec=epoch_rate)
 
     profile_stack.close()
     return state, history

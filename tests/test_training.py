@@ -94,7 +94,8 @@ def test_train_step_loss_decreases_over_steps(tiny_setup):
 def test_eval_step(tiny_setup):
     cfg, model, state, imgs, labels = tiny_setup
     estep = make_eval_step(model, cfg, mesh=None)
-    loss, acc, pred = estep(state, imgs, labels)
+    loss, acc, ang, pred = estep(state, imgs, labels)
+    assert np.isfinite(float(ang))
     assert np.isfinite(float(loss))
     assert 0.0 <= float(acc) <= 1.0
     assert pred.shape == (2, 12)
