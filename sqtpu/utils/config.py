@@ -57,6 +57,7 @@ class TrainConfig:
 
     # precision / parallelism
     dtype: str = "float32"
+    remat: bool = False               # jax.checkpoint the fwd (HBM for FLOPs)
     n_grid: int = 1                   # mesh grid-axis size (SP over voxels)
     donate: bool = True
     platform: str = ""                # override jax platform (e.g. "cpu")

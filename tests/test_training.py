@@ -180,3 +180,16 @@ def test_new_loss_selections_train(tiny_setup, loss_name):
         lambda a, b: np.any(np.asarray(a) != np.asarray(b)),
         new_state.params, state.params)
     assert any(jax.tree_util.tree_leaves(moved))
+
+
+def test_remat_train_step_matches(tiny_setup):
+    """jax.checkpoint'd step: identical loss, finite grads."""
+    import dataclasses
+    cfg, model, state, imgs, labels = tiny_setup
+    step = make_train_step(model, cfg)
+    step_r = make_train_step(model, dataclasses.replace(cfg, remat=True))
+    _, loss = step(state, imgs, labels)
+    new_state, loss_r = step_r(state, imgs, labels)
+    assert float(loss_r) == pytest.approx(float(loss), rel=1e-6)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(new_state.params))
