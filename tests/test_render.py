@@ -106,3 +106,22 @@ class TestSoftRenderer:
         hard = np.asarray(render_depth_hard(p, 64))
         corr = np.corrcoef(soft.ravel(), hard.ravel())[0, 1]
         assert corr > 0.97
+
+
+def test_hard_render_support_window_clip():
+    """An SQ poking below z=0 must still render with depth clipped into
+    the scanner's representable [0,1] lattice (the bounded sweep clips
+    its window), and a near-degenerate window must not produce NaNs."""
+    import jax.numpy as jnp
+    from sqtpu.ops.render import render_depth_hard
+
+    p = jnp.asarray([0.25, 0.25, 0.25, 1.0, 1.0, 0.5, 0.5, 0.1,
+                     0.0, 0.0, 0.0, 1.0], jnp.float64)  # z in [-0.15, .35]
+    img = np.asarray(render_depth_hard(p, 64, quantize=True, n_sweep=48))
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert img.max() > 0.2  # the top cap at z=0.35 is visible
+    # entirely out of window above the lattice: clip degenerates cleanly
+    p2 = p.at[7].set(2.0)
+    img2 = np.asarray(render_depth_hard(p2, 32, quantize=True, n_sweep=16))
+    assert np.isfinite(img2).all()
