@@ -93,6 +93,13 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         quat_l = losses.quaternion_loss_sym(pred[..., 8:12],
                                             labels[..., 8:12])
         return block + quat_l
+    if cfg.loss == "quaternion":
+        # rotation-only experiments (GenericNetSQ,
+        # torch/models.py:125-169): reference QuaternionLoss shape
+        return losses.quaternion_loss(pred[..., -4:], labels[..., 8:12])
+    if cfg.loss == "quaternion_sym":
+        return losses.quaternion_loss_sym(pred[..., -4:],
+                                          labels[..., 8:12])
     if cfg.loss == "supervised_geo":
         # supervised_sym + the observability-weighted second-moment
         # orientation term (see losses.rotation_moment_loss) — the
@@ -189,6 +196,11 @@ def make_eval_step(model, cfg: TrainConfig, mesh=None):
             # per-epoch curve VERDICT's rotation story is judged on
             ang = jnp.mean(metrics.angle_error_sym(labels[..., 8:12],
                                                    pred[..., 8:12]))
+        elif pred.shape[-1] == 4:
+            # rotation-only model: score the quaternion against the
+            # rotation block of the labels
+            ang = jnp.mean(metrics.angle_error_sym(labels[..., 8:12], pred))
+            acc = -ang
         else:
             acc = -losses.param_mae(pred, labels[..., : pred.shape[-1]])
             ang = jnp.zeros((), imgs.dtype)

@@ -19,7 +19,8 @@ class TrainConfig:
     # model / loss (reference: train.py:48, 62-66)
     model: str = "resnet_sq"          # resnet_sq | generic_sq | keras_iso | keras_rot
     loss: str = "implicit"            # implicit | explicit | leastsquares | param_mse
-    #   | supervised | supervised_sym | implicit_sym
+    #   | supervised | supervised_sym | supervised_geo | implicit_sym
+    #   | quaternion | quaternion_sym (rotation-only models)
     aux_weight: float = 0.05          # supervised anchor in implicit_sym
     geo_weight: float = 1.0           # second-moment term in supervised_geo
     # (keep small: at 5.0 the term drowns the param-MSE gradients and

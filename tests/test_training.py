@@ -193,3 +193,28 @@ def test_remat_train_step_matches(tiny_setup):
     assert float(loss_r) == pytest.approx(float(loss), rel=1e-6)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(new_state.params))
+
+
+def test_rotation_only_model_trains(tiny_setup):
+    """GenericNetSQ (rotation-only experiments, torch/models.py:125-169)
+    trains with the quaternion losses and evaluates via sym-angle."""
+    import dataclasses
+    from sqtpu.models import GenericNetSQ
+
+    cfg, _, _, imgs, labels = tiny_setup
+    cfg2 = dataclasses.replace(cfg, model="generic_sq",
+                               loss="quaternion_sym")
+    model = GenericNetSQ()
+    state = create_train_state(model, jax.random.PRNGKey(0), cfg2,
+                               input_shape=(1, 32, 32, 1))
+    step = make_train_step(model, cfg2)
+    new_state, loss = step(state, imgs, labels)
+    assert np.isfinite(float(loss))
+    estep = make_eval_step(model, cfg2)
+    l, acc, ang, pred = estep(new_state, imgs, labels)
+    assert pred.shape == (2, 4)
+    assert 0.0 <= float(ang) <= np.pi
+    # reference-shape quaternion loss path too
+    cfg3 = dataclasses.replace(cfg2, loss="quaternion")
+    _, loss3 = make_train_step(model, cfg3)(state, imgs, labels)
+    assert np.isfinite(float(loss3))
