@@ -85,8 +85,18 @@ def eval_random(cfg: EvalConfig):
     Artifacts: ``results.txt`` append log + ``accs.npz`` (the reference
     pickled; npz is the interop-friendly equivalent).
     """
+    from sqtpu.models import OUTPUT_DIMS
+
     model, state = load_eval_state(cfg)
     os.makedirs(cfg.out_dir, exist_ok=True)
+    width = OUTPUT_DIMS.get(cfg.model, 12)
+    if width == 8 and not cfg.iso:
+        # an 8-param model cannot express rotation; evaluating it against
+        # random-view images while padding the TRUE quat in would report
+        # rot-IoU 1.0 / angle 0 for a model that never saw rotation
+        raise ValueError(
+            f"model {cfg.model!r} regresses 8 isometric-view parameters; "
+            "pass --iso true (the py/test_isometry.py protocol)")
 
     @partial(jax.jit, static_argnames=())
     def batch_eval(variables, key):
@@ -98,13 +108,16 @@ def eval_random(cfg: EvalConfig):
                                          quantize=True, n_sweep=64)
         )(p_true)[..., None]
         p_pred = params_vector(model.apply(variables, imgs, train=False))
-        if p_pred.shape[-1] == 8:
+        if width == 8:
             # 2019 isometry family (py/test_isometry.py protocol): the
-            # view quaternion is fixed; pad it in so the IoU tuple and
-            # renders still apply, and score MAE on the 8 predicted values
-            p_pred = jnp.concatenate(
-                [p_pred, jnp.broadcast_to(p_true[:, 8:12], p_true[
-                    :, 8:12].shape)], axis=-1)
+            # view quaternion is FIXED AND KNOWN; pad it in so the IoU
+            # tuple and renders apply; MAE is real on the 8 predictions
+            p_pred = jnp.concatenate([p_pred, p_true[:, 8:12]], axis=-1)
+        elif width == 4:
+            # rotation-only family (GenericNetSQ): score the predicted
+            # quaternion with the true size/shape/position padded in —
+            # rot-IoU and the angle columns are the real metrics
+            p_pred = jnp.concatenate([p_true[:, :8], p_pred], axis=-1)
         triple = metrics.iou_full(p_true, p_pred, cfg.acc_render_size)
         mae = jnp.abs(p_pred - p_true)
         return p_true, p_pred, triple, mae, imgs

@@ -18,6 +18,10 @@ MODEL_REGISTRY = {
     "keras_rot": KerasRotNet,
 }
 
+# parameter-vector width each model family regresses
+OUTPUT_DIMS = {"resnet_sq": 12, "generic_sq": 4, "keras_iso": 8,
+               "keras_rot": 12}
+
 
 def build_model(name: str, **kwargs):
     return MODEL_REGISTRY[name](**kwargs)

@@ -38,10 +38,6 @@ from sqtpu.utils.config import TrainConfig
 from sqtpu.utils.logging import MetricLogger, NanGuard, Throughput
 
 
-def _pred_vector(outputs):
-    return params_vector(outputs) if isinstance(outputs, tuple) else outputs
-
-
 def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
     """Loss selection (reference's commented-out alternatives,
     ``torch/train.py:62-64``, promoted to config)."""
@@ -134,7 +130,7 @@ def make_train_step(model, cfg: TrainConfig, mesh=None):
             mutable = ["batch_stats"]
         outputs, mutated = model.apply(variables, imgs, train=True,
                                        mutable=mutable)
-        pred = _pred_vector(outputs)
+        pred = params_vector(outputs)
         loss = _compute_loss(cfg, pred, imgs, labels, mesh)
         new_stats = mutated.get("batch_stats") if mutable else None
         return loss, new_stats
@@ -188,7 +184,7 @@ def make_eval_step(model, cfg: TrainConfig, mesh=None):
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         outputs = model.apply(variables, imgs, train=False)
-        pred = _pred_vector(outputs)
+        pred = params_vector(outputs)
         loss = _compute_loss(cfg, pred, imgs, labels, mesh)
         if pred.shape[-1] == 12:
             acc = metrics.iou(labels, pred, cfg.acc_render_size)
@@ -388,6 +384,7 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
 
     # ----- resume
     history = {"loss": [], "val_loss": [], "val_acc": []}
+    reset_best = False
     start_epoch = 0
     ckpt_path = os.path.join(cfg.ckpt_dir, "best")
     last_path = os.path.join(cfg.ckpt_dir, "last")
@@ -401,15 +398,18 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
                    **{k: list(v) for k, v in history.items()}}
         if cfg.reset_lr > 0:
             # loss-switch fine-tunes resume from a plateau-decayed LR;
-            # this restores a sensible starting LR (and the best-val
-            # baseline no longer applies across losses, so clear it)
+            # this restores a sensible starting LR, and the best-val
+            # baseline no longer applies across losses (the history
+            # lists themselves stay epoch-aligned)
             state = set_lr(state, cfg.reset_lr)
-            history["val_loss"] = []
+            reset_best = True
             MetricLogger.line(f"reset LR to {cfg.reset_lr:g} on resume")
 
     scheduler = ReduceLROnPlateau(get_lr(state), cfg.plateau_patience,
                                   cfg.plateau_factor)
-    best_val = min(history["val_loss"]) if history.get("val_loss") else None
+    finite_vals = [v for v in history.get("val_loss", [])
+                   if np.isfinite(v)]
+    best_val = None if (reset_best or not finite_vals) else min(finite_vals)
     meter = Throughput()
 
     # Fixed validation key: val batches are IDENTICAL across epochs, so
@@ -474,7 +474,12 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
             val_loss = val_acc = val_ang = float("nan")
         history["val_loss"].append(val_loss)
         history["val_acc"].append(val_acc)
-        history.setdefault("val_angle_sym", []).append(val_ang)
+        ang_hist = history.setdefault("val_angle_sym", [])
+        # checkpoints saved before this metric existed: pad so every
+        # history list stays epoch-aligned
+        while len(ang_hist) < len(history["val_loss"]) - 1:
+            ang_hist.append(float("nan"))
+        ang_hist.append(val_ang)
 
         if (epoch == 0 and cfg.ckpt_dir and cfg.compare_images > 0
                 and val_first is not None

@@ -109,5 +109,8 @@ def test_resume_with_loss_switch_and_reset_lr(tmp_path):
     state, history = train(cfg2, synthetic_size=8)
     assert np.isfinite(history["loss"]).all()
     assert get_lr(state) == pytest.approx(5e-5, rel=1e-5)
-    # val_loss history cleared on loss switch: only resumed epochs remain
-    assert len(history["val_loss"]) == 2
+    # histories stay epoch-aligned across the loss switch (epoch 0 from
+    # run 1 + re-run epoch 0 + epoch 1), including the angle metric
+    assert (len(history["loss"]) == len(history["val_loss"])
+            == len(history["val_acc"]) == len(history["val_angle_sym"])
+            == 3)

@@ -104,3 +104,16 @@ def test_eval_random_iso_model(tmp_path):
     assert np.isfinite(res["full_iou_mean"])
     assert len(res["param_mae"]) == 12
     assert np.allclose(res["param_mae"][8:], 0.0, atol=1e-6)  # padded quat
+
+
+def test_eval_random_iso_guard(tmp_path):
+    """8-param models must demand --iso: padding the true quat into a
+    random-view eval would report fake-perfect rotation."""
+    from sqtpu.evaluate import eval_random
+    from sqtpu.utils.config import EvalConfig
+
+    cfg = EvalConfig(ckpt_dir=str(tmp_path / "none"), model="keras_iso",
+                     iso=False, n=2, batch_size=2, image_size=32,
+                     acc_render_size=16, out_dir=str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="iso"):
+        eval_random(cfg)
