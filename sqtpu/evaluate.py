@@ -118,6 +118,14 @@ def eval_random(cfg: EvalConfig):
             # quaternion with the true size/shape/position padded in —
             # rot-IoU and the angle columns are the real metrics
             p_pred = jnp.concatenate([p_true[:, :8], p_pred], axis=-1)
+        if cfg.refine != "none":
+            # hybrid recovery: CNN init + classical test-time polish
+            # against the input image (fit.refine_params)
+            from sqtpu.fit import refine_params
+            p_pred = refine_params(imgs[..., 0], p_pred,
+                                   method=cfg.refine,
+                                   steps=cfg.refine_steps,
+                                   n=cfg.refine_size, lr=cfg.refine_lr)
         triple = metrics.iou_full(p_true, p_pred, cfg.acc_render_size)
         mae = jnp.abs(p_pred - p_true)
         return p_true, p_pred, triple, mae, imgs

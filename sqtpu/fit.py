@@ -194,6 +194,46 @@ def recover(img: jax.Array, n_points: int = 64, iters: int = 50):
     return lm_fit(pts, mask, p0, iters)
 
 
+@partial(jax.jit, static_argnames=("method", "steps", "n", "tau", "sharp"))
+def refine_params(imgs: jax.Array, p0: jax.Array, method: str = "lm",
+                  steps: int = 30, n: int = 64, lr: float = 3e-3,
+                  tau: float = 1.5, sharp: float = 260.0) -> jax.Array:
+    """Test-time refinement: polish (B, 12) parameter estimates against
+    their (B, H, W) depth images — the hybrid of the two reference
+    recovery paths (CNN prediction, ``torch/test_random.py:52``, as the
+    init; the classical iterative fit, scanner-binary ``recover``/
+    ``mrqmin`` or ``visu.py:123-209`` GD, as the polish).
+
+    method="lm": Levenberg–Marquardt on the Solina–Bajcsy energy over
+    image points (fast; refines size/position/rotation to the visible
+    surface). method="gd": Adam on the implicit depth-MAE loss at
+    render size ``n`` (slower; optimizes the actual eval objective).
+    """
+    if method == "lm":
+        def one(im, p):
+            pts, mask = image_points(im, n)
+            return lm_fit(pts, mask, p, iters=steps)[0]
+        return jax.vmap(one)(imgs, p0)
+    if method == "gd":
+        import optax
+        tx = optax.adam(lr)
+
+        def loss_fn(p, im):
+            return losses.implicit_loss(im[None], p[None], n, tau, sharp)
+
+        def one(im, p):
+            def body(carry, _):
+                p, opt = carry
+                g = jax.grad(loss_fn)(p, im)
+                updates, opt = tx.update(g, opt, p)
+                return (_renorm_quat(p + updates), opt), None
+            (p, _), _ = jax.lax.scan(body, (p, tx.init(p)), None,
+                                     length=steps)
+            return geometry.clamp_params(p)
+        return jax.vmap(one)(imgs, p0)
+    raise ValueError(f"unknown refine method {method!r}")
+
+
 def main(argv=None):
     cfg = parse_cli(FitConfig, argv)
     if cfg.platform:

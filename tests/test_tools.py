@@ -76,6 +76,26 @@ class TestClassicalRecovery:
         assert iou1 > iou0
         assert iou1 > 0.5
 
+    @pytest.mark.parametrize("method", ["lm", "gd"])
+    def test_refine_params_improves_iou(self, true_setup, method):
+        """CNN-init + classical-polish hybrid: from a perturbed estimate,
+        refinement against the depth image must raise IoU."""
+        from sqtpu.fit import refine_params
+
+        p_true, img = true_setup
+        p0 = p_true + jnp.asarray(
+            [0.04, -0.04, 0.03, 0.08, -0.08, 0.02, -0.02, 0.02,
+             0.05, -0.05, 0.0, 0.0], jnp.float32)
+        p0 = p0.at[8:12].set(p0[8:12] / jnp.linalg.norm(p0[8:12]))
+        p_ref = refine_params(img[None], p0[None], method=method,
+                              steps=25, n=32, lr=5e-3)[0]
+        iou0 = float(metrics.iou(p_true[None].astype(jnp.float64),
+                                 p0[None].astype(jnp.float64), 32))
+        iou1 = float(metrics.iou(p_true[None].astype(jnp.float64),
+                                 p_ref[None].astype(jnp.float64), 32))
+        assert np.all(np.isfinite(np.asarray(p_ref)))
+        assert iou1 > iou0
+
 
 class TestScanCLI:
     def test_matches_reference_bmp(self, tmp_path, example_labels):
@@ -119,6 +139,16 @@ class TestEvaluate:
         data = np.load(tmp_path / "out" / "accs.npz")
         assert data["full_iou"].shape == (4,)
         assert data["mae"].shape == (4, 12)
+
+    def test_eval_random_with_refine(self, tmp_path):
+        from sqtpu.evaluate import eval_random
+
+        cfg = EvalConfig(ckpt_dir=str(tmp_path / "none"), n=2, batch_size=2,
+                         acc_render_size=16, image_size=32,
+                         out_dir=str(tmp_path / "out"),
+                         refine="lm", refine_steps=5, refine_size=16)
+        res = eval_random(cfg)
+        assert 0.0 <= res["full_iou_mean"] <= 1.0
 
 
 class TestViz:
