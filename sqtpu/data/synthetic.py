@@ -68,10 +68,9 @@ def make_batch(
         # silhouette chords can be). 12 bisection steps resolve z to
         # ≤ 0.021/4096 ≪ the 1/255 quantization. 60 field evals/pixel
         # vs the old 80 and a per-pixel-row full sweep's 280.
-        imgs = jax.vmap(
-            lambda pi: render_depth_hard(pi, image_size, n_bisect=12,
-                                         quantize=True, n_sweep=48)
-        )(p)
+        from sqtpu.ops.kernels import render_hard_auto
+        imgs = render_hard_auto(p, image_size, n_sweep=48, n_bisect=12,
+                                quantize=True)
     elif renderer == "soft":
         imgs = jax.vmap(
             lambda pi: render_depth_soft(pi, image_size, 1.5, 260.0)

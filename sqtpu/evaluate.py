@@ -103,10 +103,9 @@ def eval_random(cfg: EvalConfig):
         # model weights ride as arguments (closure capture would embed
         # them in the HLO as constants)
         p_true = sample_params(key, cfg.batch_size, iso=cfg.iso)
-        imgs = jax.vmap(
-            lambda pi: render_depth_hard(pi, cfg.image_size, n_bisect=16,
-                                         quantize=True, n_sweep=64)
-        )(p_true)[..., None]
+        from sqtpu.ops.kernels import render_hard_auto
+        imgs = render_hard_auto(p_true, cfg.image_size, n_sweep=64,
+                                n_bisect=16, quantize=True)[..., None]
         p_pred = params_vector(model.apply(variables, imgs, train=False))
         if width == 8:
             # 2019 isometry family (py/test_isometry.py protocol): the

@@ -41,3 +41,25 @@ def implicit_loss_auto(img, pred_p, render_size=64, tau=1.5,
         except ImportError:
             pass
     return losses.implicit_loss(img, pred_p, render_size, tau, sharpness)
+
+
+def render_hard_auto(p_batch, image_size=256, n_sweep=48, n_bisect=12,
+                     quantize=True):
+    """Batched hard render, fused Pallas kernel when available (byte-
+    parity tested); falls back to the vmapped XLA renderer (which is
+    also the differentiable path — the kernel is fwd-only)."""
+    if pallas_available():
+        try:
+            from sqtpu.ops.kernels.hardrender import (
+                _supported, render_depth_hard_pallas)
+            if _supported(image_size):
+                return render_depth_hard_pallas(
+                    p_batch, image_size, n_sweep=n_sweep,
+                    n_bisect=n_bisect, quantize=quantize)
+        except ImportError:
+            pass
+    from sqtpu.ops.render import render_depth_hard
+    return jax.vmap(
+        lambda pi: render_depth_hard(pi, image_size, n_bisect=n_bisect,
+                                     quantize=quantize, n_sweep=n_sweep)
+    )(p_batch)

@@ -146,3 +146,39 @@ def test_dp_shard_map_matches_unsharded(batch):
     assert float(got_v) == pytest.approx(float(ref_v), rel=1e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                rtol=5e-3, atol=1e-6)
+
+
+class TestHardRenderKernel:
+    """Fused hard-renderer kernel vs the XLA z-sweep renderer."""
+
+    def test_byte_parity_with_xla_renderer(self, batch):
+        from sqtpu.ops.kernels.hardrender import render_depth_hard_pallas
+        from sqtpu.ops.render import render_depth_hard
+
+        _, p = batch
+        ref = jax.vmap(lambda pi: render_depth_hard(
+            pi, 64, n_bisect=12, quantize=True, n_sweep=48))(p)
+        got = render_depth_hard_pallas(p, 64, n_sweep=48, n_bisect=12,
+                                       quantize=True)
+        d = np.abs(np.asarray(ref) * 255 - np.asarray(got) * 255)
+        assert (d > 1).mean() < 1e-3
+        assert np.asarray(got).max() > 0.3           # actually rendered
+
+    def test_unquantized_continuous(self, batch):
+        from sqtpu.ops.kernels.hardrender import render_depth_hard_pallas
+
+        _, p = batch
+        img = np.asarray(render_depth_hard_pallas(p, 32, quantize=False))
+        assert np.all(img >= 0) and np.all(img <= 1)
+        assert ((img * 255) % 1 > 1e-3).any()        # not on the lattice
+
+    def test_auto_dispatcher(self, batch):
+        from sqtpu.ops.kernels import render_hard_auto
+        from sqtpu.ops.render import render_depth_hard
+
+        _, p = batch
+        ref = jax.vmap(lambda pi: render_depth_hard(
+            pi, 32, n_bisect=12, quantize=True, n_sweep=48))(p)
+        got = render_hard_auto(p, 32)
+        d = np.abs(np.asarray(ref) * 255 - np.asarray(got) * 255)
+        assert (d > 1).mean() < 1e-3
