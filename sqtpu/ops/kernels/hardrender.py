@@ -96,17 +96,18 @@ def _kernel(s: int, n_sweep: int, n_bisect: int, par_ref, out_ref):
         E = jnp.exp(jnp.log(A + B + tiny) * e21)
         return E + C <= 1.0
 
-    # coarse sweep far -> near: first inside slab is max-z
-    def sweep(j, carry):
-        z_in, found = carry
+    # coarse sweep far -> near: first inside slab is max-z. The carry is
+    # ONE f32 plane with -1 as the "not found yet" sentinel (z is always
+    # >= 0 here); an i1 carry plane trips a Mosaic layout bug.
+    def sweep(j, z_in):
         z = z_hi - j.astype(jnp.float32) * step
         ins = inside(z)
-        z_in = jnp.where(ins & ~found, z, z_in)
-        return z_in, found | ins
+        return jnp.where(ins & (z_in < 0.0), z, z_in)
 
-    zero = jnp.zeros((rows, LANES), jnp.float32)
-    z_in, hit = jax.lax.fori_loop(
-        0, n_sweep, sweep, (zero, jnp.zeros((rows, LANES), bool)))
+    z_in = jax.lax.fori_loop(
+        0, n_sweep, sweep, jnp.full((rows, LANES), -1.0, jnp.float32))
+    hit = z_in >= 0.0
+    z_in = jnp.maximum(z_in, 0.0)
 
     # bisection between the inside slab and the one above it (outside)
     def bisect(_, lohi):
