@@ -74,11 +74,11 @@ def generate(cfg: GenerateConfig):
             from sqtpu.data.native import render_batch_native
             imgs = render_batch_native(p, cfg.image_size)
         else:
-            from sqtpu.ops.render import render_depth_hard
-            imgs = np.asarray(jax.vmap(
-                lambda pi: render_depth_hard(pi, cfg.image_size,
-                                             n_bisect=20, quantize=True)
-            )(jnp.asarray(p, jnp.float32))) * 255.0
+            from sqtpu.ops.kernels import render_hard_auto
+            imgs = np.asarray(render_hard_auto(
+                jnp.asarray(p, jnp.float32), cfg.image_size,
+                n_sweep=cfg.image_size, n_bisect=20,
+                quantize=True)) * 255.0
             imgs = imgs.astype(np.uint8)
 
         for i in range(b):
