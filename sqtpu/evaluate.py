@@ -40,6 +40,14 @@ def load_eval_state(cfg: EvalConfig):
     model = build_model(cfg.model)
     tc = TrainConfig(model=cfg.model, image_size=cfg.image_size)
     state = create_train_state(model, jax.random.PRNGKey(0), tc)
+    if cfg.ckpt_dir.endswith(".npz"):
+        # portable weights artifact (utils.checkpoint.save_weights_npz)
+        from sqtpu.utils.checkpoint import load_weights_npz
+        v = load_weights_npz(cfg.ckpt_dir,
+                             {"params": state.params,
+                              "batch_stats": state.batch_stats})
+        return model, state.replace(params=v["params"],
+                                    batch_stats=v["batch_stats"])
     ckpt = os.path.join(cfg.ckpt_dir, "best")
     if os.path.exists(os.path.abspath(ckpt)):
         state, _, _ = load_checkpoint(ckpt, state)

@@ -507,7 +507,10 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
             saved = " [saved]"
         else:
             saved = ""
-        if cfg.ckpt_dir and getattr(cfg, "save_last", True):
+        last_every = max(int(getattr(cfg, "save_last_interval", 1)), 1)
+        if cfg.ckpt_dir and getattr(cfg, "save_last", True) and (
+                epoch % last_every == last_every - 1
+                or epoch == cfg.max_epochs - 1):
             # crash-recovery checkpoint (SURVEY.md §5.3: the reference has
             # no failure-recovery story beyond manual best-ckpt restarts)
             save_checkpoint(last_path, state, history, epoch)

@@ -65,3 +65,50 @@ def load_checkpoint(path: str, target_tree):
     else:
         meta = {"epoch": 0, "history": {}}
     return state, meta.get("history", {}), meta.get("epoch", 0)
+
+
+# ---------------------------------------------------------------------------
+# Portable weights export (.npz) — model variables only, no optimizer
+# ---------------------------------------------------------------------------
+# Orbax checkpoints are directory trees keyed to a jax/orbax version and
+# are too bulky to keep in the repo; a flat compressed .npz of the model
+# variables (params + batch_stats) is the durable interop artifact —
+# the analog of the reference's published ``model_*.pt`` files
+# (README.md:24-28 download links).
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_weights_npz(path: str, variables: dict, dtype=np.float16) -> None:
+    """Write model variables ({'params': ..., 'batch_stats': ...}) as a
+    flat compressed npz. ``dtype`` trades file size for precision
+    (float16 halves the artifact; BN running stats stay fp32)."""
+    flat = _flatten(jax.device_get(variables))
+    cast = {k: (v if "batch_stats" in k or v.dtype.kind != "f"
+                else v.astype(dtype)) for k, v in flat.items()}
+    os.makedirs(os.path.dirname(_abs(path)) or ".", exist_ok=True)
+    np.savez_compressed(_abs(path), **cast)
+
+
+def load_weights_npz(path: str, variables: dict) -> dict:
+    """Restore variables saved by :func:`save_weights_npz` into the
+    structure of ``variables`` (shapes/dtypes from the template)."""
+    data = np.load(_abs(path))
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        key = prefix[:-1]
+        arr = data[key]
+        assert arr.shape == tuple(np.shape(tree)), \
+            f"{key}: {arr.shape} vs {np.shape(tree)}"
+        return arr.astype(tree.dtype)
+
+    return rebuild(jax.device_get(variables))

@@ -72,7 +72,10 @@ class TrainConfig:
     continue_training: bool = False
     resume_from: str = "best"         # best (reference parity) | last
     reset_lr: float = 0.0             # >0: override LR after resume (loss switch)
-    save_last: bool = True            # crash-recovery ckpt every epoch
+    save_last: bool = True            # crash-recovery ckpt (periodic)
+    save_last_interval: int = 5       # epochs between 'last' saves: each
+    # save round-trips the full train state through the TPU tunnel
+    # (~5 s/epoch measured), so every epoch is wasteful at 15 s epochs
     log_interval: int = 10
     compare_images: int = 4           # epoch-0 true/pred BMP pairs (train.py:148-151)
     nan_policy: str = "warn"          # warn | skip

