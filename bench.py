@@ -100,6 +100,19 @@ def main():
     dt_online = timer.stop(loss)
     online_per_chip = BATCH * ITERS / dt_online / n_chips
 
+    # ---- data generation alone (fused Pallas hard-render kernel)
+    @jax.jit
+    def gen_only(k):
+        return make_batch(k, BATCH, 256, "hard")[0]
+
+    out = gen_only(key)
+    _ = float(out[0, 0, 0, 0])
+    timer.start()
+    for i in range(ITERS):
+        out = gen_only(jax.random.fold_in(key, 100 + i))
+    dt_gen = timer.stop(out[0, 0, 0, 0])
+    gen_per_chip = BATCH * ITERS / dt_gen / n_chips
+
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -113,6 +126,7 @@ def main():
             "final_loss": float(loss),
             "online_imgs_per_sec_per_chip": round(online_per_chip, 2),
             "online_note": "in-graph data gen (hard ray-cast render) + train step",
+            "datagen_imgs_per_sec_per_chip": round(gen_per_chip, 2),
         },
     }))
 
