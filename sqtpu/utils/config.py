@@ -131,8 +131,10 @@ def parse_cli(cls, argv: Optional[list] = None):
     for f in dataclasses.fields(cls):
         arg = "--" + f.name.replace("_", "-")
         if f.type in ("bool", bool):
+            # accept both `--flag` (bare = True) and `--flag true/false`
             parser.add_argument(arg, type=lambda s: s.lower() in
-                                ("1", "true", "yes"), default=f.default)
+                                ("1", "true", "yes"), default=f.default,
+                                nargs="?", const=True)
         else:
             parser.add_argument(arg, type=type(f.default), default=f.default)
     ns = parser.parse_args(argv)
