@@ -84,9 +84,17 @@ def main():
     # ---- end-to-end ONLINE training: in-graph hard-render data gen +
     # train step ("rotated-SQ training" including producing the rotated
     # SQs — data/synthetic.py make_batch fused into the step)
+    if n_chips > 1:
+        # the Pallas render kernel is a custom call XLA cannot auto-
+        # partition; generate each chip's shard locally via shard_map
+        from sqtpu.parallel.sharded_losses import make_batch_dp
+        _gen = lambda k: make_batch_dp(k, BATCH, mesh, 256, "hard")
+    else:
+        _gen = lambda k: make_batch(k, BATCH, 256, "hard")
+
     @jax.jit
     def online_step(state, k):
-        imgs, labels = make_batch(k, BATCH, 256, "hard")
+        imgs, labels = _gen(k)
         return step(state, imgs, labels)
 
     key = jax.random.PRNGKey(2)
@@ -103,7 +111,7 @@ def main():
     # ---- data generation alone (fused Pallas hard-render kernel)
     @jax.jit
     def gen_only(k):
-        return make_batch(k, BATCH, 256, "hard")[0]
+        return _gen(k)[0]
 
     out = gen_only(key)
     _ = float(out[0, 0, 0, 0])

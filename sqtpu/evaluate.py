@@ -41,11 +41,12 @@ def load_eval_state(cfg: EvalConfig):
     tc = TrainConfig(model=cfg.model, image_size=cfg.image_size)
     state = create_train_state(model, jax.random.PRNGKey(0), tc)
     if cfg.ckpt_dir.endswith(".npz"):
-        # portable weights artifact (utils.checkpoint.save_weights_npz)
+        # portable weights artifact (utils.checkpoint.save_weights_npz);
+        # device_put so jitted calls don't re-upload host arrays each time
         from sqtpu.utils.checkpoint import load_weights_npz
-        v = load_weights_npz(cfg.ckpt_dir,
-                             {"params": state.params,
-                              "batch_stats": state.batch_stats})
+        v = jax.device_put(load_weights_npz(
+            cfg.ckpt_dir, {"params": state.params,
+                           "batch_stats": state.batch_stats}))
         return model, state.replace(params=v["params"],
                                     batch_stats=v["batch_stats"])
     ckpt = os.path.join(cfg.ckpt_dir, "best")
@@ -125,9 +126,12 @@ def eval_random(cfg: EvalConfig):
             # quaternion with the true size/shape/position padded in —
             # rot-IoU and the angle columns are the real metrics
             p_pred = jnp.concatenate([p_true[:, :8], p_pred], axis=-1)
-        if cfg.refine != "none":
+        if cfg.refine != "none" and width == 12:
             # hybrid recovery: CNN init + classical test-time polish
-            # against the input image (fit.refine_params)
+            # against the input image (fit.refine_params). Only for the
+            # full 12-param family: the width-4/8 protocols pad TRUE
+            # values in, and refining those would score a truth-
+            # initialized classical fit instead of the model.
             from sqtpu.fit import refine_params
             p_pred = refine_params(imgs[..., 0], p_pred,
                                    method=cfg.refine,

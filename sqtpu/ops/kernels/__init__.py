@@ -58,8 +58,6 @@ def render_hard_auto(p_batch, image_size=256, n_sweep=48, n_bisect=12,
                     n_bisect=n_bisect, quantize=quantize)
         except ImportError:
             pass
-    from sqtpu.ops.render import render_depth_hard
-    return jax.vmap(
-        lambda pi: render_depth_hard(pi, image_size, n_bisect=n_bisect,
-                                     quantize=quantize, n_sweep=n_sweep)
-    )(p_batch)
+    from sqtpu.ops.render import render_depth_hard_batch
+    return render_depth_hard_batch(p_batch, image_size, n_bisect=n_bisect,
+                                   quantize=quantize, n_sweep=n_sweep)

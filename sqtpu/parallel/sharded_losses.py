@@ -64,6 +64,43 @@ def implicit_loss_dp(
     )(img_bhw, p)
 
 
+def make_batch_dp(
+    key: jax.Array,
+    batch: int,
+    mesh: Mesh,
+    image_size: int = 256,
+    renderer: str = "hard",
+    iso: bool = False,
+):
+    """DP-composed on-device data generation: each device samples and
+    renders its batch shard locally (per-device key fold), so the fused
+    Pallas hard-render kernel — a custom call XLA cannot auto-partition
+    — scales over the 'data' axis instead of replicating.
+
+    NOT bit-identical to :func:`sqtpu.data.synthetic.make_batch` (the
+    parameter stream is per-shard), but samples the identical
+    distribution; use for multi-chip online training / bulk generation.
+    """
+    from sqtpu.data.synthetic import make_batch
+
+    n_data = mesh.shape["data"]
+    assert batch % n_data == 0, (
+        f"batch {batch} must divide the data axis {n_data}")
+
+    def local(k):
+        k_local = jax.random.fold_in(k[0], jax.lax.axis_index("data"))
+        return make_batch(k_local, batch // n_data, image_size, renderer,
+                          iso=iso)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )(key[None])
+
+
 def implicit_loss_gridsharded(
     img: jax.Array,
     p: jax.Array,

@@ -59,3 +59,28 @@ def test_batch_sharding_spreads_data(batch):
     sharded = jax.device_put(imgs, batch_sharding(mesh))
     assert len(sharded.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(imgs))
+
+
+def test_make_batch_dp_shards_generation():
+    """DP data generation: each device renders its own batch shard; the
+    combined output matches make_batch's distribution and conventions."""
+    import os
+    os.environ["SQTPU_PALLAS_INTERPRET"] = "1"
+    from sqtpu.parallel.sharded_losses import make_batch_dp
+
+    mesh = make_mesh(n_data=8, n_grid=1)
+    key = jax.random.PRNGKey(7)
+    with mesh:
+        imgs, labels = jax.jit(
+            lambda k: make_batch_dp(k, 16, mesh, 32, "hard"))(key)
+    imgs, labels = np.asarray(imgs), np.asarray(labels)
+    assert imgs.shape == (16, 32, 32, 1) and labels.shape == (16, 12)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    assert (imgs.reshape(16, -1).max(axis=1) > 0).all()   # every SQ visible
+    # per-shard keys differ -> shards are not copies of each other
+    assert not np.allclose(labels[:2], labels[2:4])
+    # labels in the sampling ranges (a in [25,75]/255, unit quats)
+    assert (labels[:, 0:3] >= 25 / 255 - 1e-6).all()
+    assert (labels[:, 0:3] <= 75 / 255 + 1e-6).all()
+    np.testing.assert_allclose(np.linalg.norm(labels[:, 8:12], axis=1),
+                               1.0, atol=1e-5)
