@@ -231,6 +231,13 @@ def refine_params(imgs: jax.Array, p0: jax.Array, method: str = "lm",
                                      length=steps)
             return geometry.clamp_params(p)
         return jax.vmap(one)(imgs, p0)
+    if method == "lm+gd":
+        # hybrid: LM snaps size/position/rotation to the visible surface
+        # fast, then Adam descends the actual eval objective (implicit
+        # depth MAE) from that much better basin
+        p1 = refine_params(imgs, p0, "lm", steps, n, lr, tau, sharp)
+        return refine_params(imgs, p1, "gd", max(steps, 50), n, lr, tau,
+                             sharp)
     raise ValueError(f"unknown refine method {method!r}")
 
 

@@ -102,7 +102,7 @@ class EvalConfig:
 
     # test-time refinement: polish predictions against the input image
     # (CNN init + classical iterative fit — fit.refine_params)
-    refine: str = "none"              # none | lm | gd
+    refine: str = "none"              # none | lm | gd | lm+gd
     refine_steps: int = 30
     refine_size: int = 64             # LM point grid / GD render size
     refine_lr: float = 3e-3           # GD (Adam) step size

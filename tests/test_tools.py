@@ -76,7 +76,7 @@ class TestClassicalRecovery:
         assert iou1 > iou0
         assert iou1 > 0.5
 
-    @pytest.mark.parametrize("method", ["lm", "gd"])
+    @pytest.mark.parametrize("method", ["lm", "gd", "lm+gd"])
     def test_refine_params_improves_iou(self, true_setup, method):
         """CNN-init + classical-polish hybrid: from a perturbed estimate,
         refinement against the depth image must raise IoU."""
