@@ -1,4 +1,8 @@
 #!/bin/bash
+# Round-2 (session 3, take 2) training queue — run 1's proven LRs:
+# warm-up at 3e-4 (1e-4 halves the epoch-28 progress), implicit stages
+# with plateau patience 20 (run 1's patience-6 fine-tune froze early).
+# Original header:
 # Round-2 (session 3) training queue: re-run of the PROVEN staged rotation
 # recipe from run 1 of this round. The session-2 rebuild mistakenly used
 # --synthetic-size 20000 (vs run 1's 100k): the model memorized the 20k
@@ -12,7 +16,7 @@ cd /root/repo
 # Stage A: symmetry-aware supervised warm-up (run 1 proven: 90-100 ep)
 python -m sqtpu.train --loss supervised_sym --data synthetic \
   --synthetic-size 100000 --image-size 256 --batch-size 256 \
-  --learning-rate 1e-4 --max-epochs 100 --steps-per-epoch 100 --val-steps 5 \
+  --learning-rate 3e-4 --max-epochs 100 --steps-per-epoch 100 --val-steps 5 \
   --acc-render-size 64 --dtype float32 --nan-policy skip \
   --ckpt-dir runs/r3_model --compare-images 2 --log-interval 50 \
   > runs/r3_stageA.log 2>&1
@@ -20,7 +24,7 @@ python -m sqtpu.train --loss supervised_sym --data synthetic \
 # Stage B: implicit_sym fine-tune @64^3 (self-supervised + sym anchor)
 python -m sqtpu.train --loss implicit_sym --data synthetic \
   --synthetic-size 100000 --image-size 256 --batch-size 256 \
-  --learning-rate 1e-4 --max-epochs 240 --steps-per-epoch 100 --val-steps 5 \
+  --learning-rate 1e-4 --plateau-patience 20 --max-epochs 240 --steps-per-epoch 100 --val-steps 5 \
   --acc-render-size 64 --dtype float32 --nan-policy skip \
   --ckpt-dir runs/r3_model --continue-training --resume-from best \
   --reset-lr 1e-4 --compare-images 0 --log-interval 50 \
@@ -30,7 +34,7 @@ python -m sqtpu.train --loss implicit_sym --data synthetic \
 python -m sqtpu.train --loss implicit_sym --data synthetic \
   --synthetic-size 100000 --image-size 256 --batch-size 256 \
   --render-size 96 \
-  --learning-rate 1e-4 --max-epochs 420 --steps-per-epoch 100 --val-steps 5 \
+  --learning-rate 1e-4 --plateau-patience 20 --max-epochs 420 --steps-per-epoch 100 --val-steps 5 \
   --acc-render-size 64 --dtype float32 --nan-policy skip \
   --ckpt-dir runs/r3_model --continue-training --resume-from best \
   --reset-lr 1e-4 --compare-images 0 --log-interval 50 \
@@ -40,7 +44,7 @@ python -m sqtpu.train --loss implicit_sym --data synthetic \
 python -m sqtpu.train --loss implicit_sym --data synthetic \
   --synthetic-size 100000 --image-size 256 --batch-size 256 \
   --render-size 96 \
-  --learning-rate 2e-5 --max-epochs 500 --steps-per-epoch 100 --val-steps 5 \
+  --learning-rate 2e-5 --plateau-patience 20 --max-epochs 500 --steps-per-epoch 100 --val-steps 5 \
   --acc-render-size 64 --dtype float32 --nan-policy skip \
   --ckpt-dir runs/r3_model --continue-training --resume-from best \
   --reset-lr 2e-5 --compare-images 0 --log-interval 50 \
