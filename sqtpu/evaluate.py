@@ -106,6 +106,14 @@ def eval_random(cfg: EvalConfig):
         raise ValueError(
             f"model {cfg.model!r} regresses 8 isometric-view parameters; "
             "pass --iso true (the py/test_isometry.py protocol)")
+    if cfg.refine != "none" and width != 12:
+        # refinement only applies to the full 12-param family (the
+        # width-4/8 protocols pad TRUE values in; refining those would
+        # score a truth-initialized classical fit, not the model)
+        raise ValueError(
+            f"--refine {cfg.refine!r} requires a 12-parameter model; "
+            f"{cfg.model!r} predicts {width} — it would be silently "
+            "scored unrefined")
 
     @partial(jax.jit, static_argnames=())
     def batch_eval(variables, key):

@@ -215,21 +215,13 @@ def refine_params(imgs: jax.Array, p0: jax.Array, method: str = "lm",
             return lm_fit(pts, mask, p, iters=steps)[0]
         return jax.vmap(one)(imgs, p0)
     if method == "gd":
-        import optax
-        tx = optax.adam(lr)
-
-        def loss_fn(p, im):
-            return losses.implicit_loss(im[None], p[None], n, tau, sharp)
-
         def one(im, p):
-            def body(carry, _):
-                p, opt = carry
-                g = jax.grad(loss_fn)(p, im)
-                updates, opt = tx.update(g, opt, p)
-                return (_renorm_quat(p + updates), opt), None
-            (p, _), _ = jax.lax.scan(body, (p, tx.init(p)), None,
-                                     length=steps)
-            return geometry.clamp_params(p)
+            # same Adam + per-step quat-renorm loop as `gd_fit` (one
+            # shared implementation: _fit_scan)
+            f = lambda q: losses.implicit_loss(im[None], q[None], n, tau,
+                                               sharp)
+            p_out, _ = _fit_scan(p, f, steps, lr, "adam")
+            return geometry.clamp_params(p_out)
         return jax.vmap(one)(imgs, p0)
     if method == "lm+gd":
         # hybrid: LM snaps size/position/rotation to the visible surface

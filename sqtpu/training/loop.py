@@ -501,7 +501,10 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
             MetricLogger.line(f"Reducing learning rate to {new_lr:g}")
             state = set_lr(state, new_lr)
 
-        if cfg.ckpt_dir and (best_val is None or val_loss < best_val):
+        # non-finite val_loss must neither become the saved "best" nor
+        # poison best_val (NaN compares False forever after)
+        if cfg.ckpt_dir and np.isfinite(val_loss) and (
+                best_val is None or val_loss < best_val):
             best_val = val_loss
             save_checkpoint(ckpt_path, state, history, epoch)
             saved = " [saved]"
