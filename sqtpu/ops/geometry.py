@@ -386,3 +386,25 @@ def inertia(p: jax.Array) -> jax.Array:
     iyy = coef * (a1**2 * b_xy + a3**2 * b_z)
     izz = coef * (a1**2 + a2**2) * b_xy
     return jnp.stack([ixx, iyy, izz], axis=-1)
+
+
+def z_support_window(a: jax.Array, rot: jax.Array, t: jax.Array,
+                     n_sweep: int, dtype=None):
+    """(z_lo, z_hi, step) of the renderer's bounded z-sweep.
+
+    The SQ lies inside its body box [-a, a] (e1, e2 ≤ 1), whose support
+    along world z is h = Σᵢ |rot[i, 2]|·aᵢ (rot column 2 = body z axis in
+    world frame). Clipped to the scanner's representable z lattice [0, 1]
+    (pixel = z·255). Shared by the XLA renderer and the Pallas hard-
+    render kernel — the two sweeps must stay bit-coupled for their
+    byte-parity contract (tests/test_pallas_kernel.py). Batched or
+    unbatched: leading dims of a/rot/t broadcast through.
+    """
+    dtype = dtype or a.dtype
+    h = (jnp.abs(rot[..., 0, 2]) * a[..., 0]
+         + jnp.abs(rot[..., 1, 2]) * a[..., 1]
+         + jnp.abs(rot[..., 2, 2]) * a[..., 2])
+    z_lo = jnp.clip(t[..., 2] - h, 0.0, 1.0)
+    z_hi = jnp.clip(t[..., 2] + h, z_lo + jnp.asarray(1e-6, dtype), 1.0)
+    step = (z_hi - z_lo) / jnp.asarray(n_sweep - 1, dtype)
+    return z_lo, z_hi, step

@@ -144,12 +144,9 @@ def render_depth_hard_pallas(
     a, e, t, q = geometry.split_params(p.astype(dtype))
     rot = quat.to_matrix(quat.conjugate(q))              # (B, 3, 3)
     tr = jnp.einsum("bij,bj->bi", rot, t)
-    # z support window of the body box [-a, a] (render_depth_hard)
-    h = jnp.abs(rot[:, 0, 2]) * a[:, 0] + jnp.abs(rot[:, 1, 2]) * a[:, 1] \
-        + jnp.abs(rot[:, 2, 2]) * a[:, 2]
-    z_lo = jnp.clip(t[:, 2] - h, 0.0, 1.0)
-    z_hi = jnp.clip(t[:, 2] + h, z_lo + 1e-6, 1.0)
-    step = (z_hi - z_lo) / (n_sweep - 1)
+    # z support window of the body box [-a, a] — shared with the XLA
+    # renderer so the two sweeps stay bit-coupled (byte-parity contract)
+    _, z_hi, step = geometry.z_support_window(a, rot, t, n_sweep, dtype)
 
     par = jnp.concatenate([
         a,                                   # 0..2

@@ -149,12 +149,7 @@ def render_depth_hard(
     # so slabs are ~(2h)⁻¹/(1)⁻¹ ≈ 2.5x finer than a full [0,1] sweep at
     # the same cost (fewer missed grazing rays, or fewer slabs needed).
     nsw = s if n_sweep is None else n_sweep
-    h = jnp.abs(rot[0, 2]) * a[0] + jnp.abs(rot[1, 2]) * a[1] \
-        + jnp.abs(rot[2, 2]) * a[2]
-    # clip to the scanner's representable z lattice [0, 1] (pixel = z·255)
-    z_lo = jnp.clip(t[2] - h, 0.0, 1.0)
-    z_hi = jnp.clip(t[2] + h, z_lo + jnp.asarray(1e-6, dtype), 1.0)
-    step = (z_hi - z_lo) / jnp.asarray(nsw - 1, dtype)
+    _, z_hi, step = geometry.z_support_window(a, rot, t, nsw, dtype)
     zs = z_hi - jnp.arange(nsw, dtype=dtype) * step
 
     def sweep(carry, z):
