@@ -2,7 +2,8 @@
 
 from sqtpu.models.encoders import ConvEncoder, MLPNeck  # noqa: F401
 from sqtpu.models.heads import (  # noqa: F401
-    BlockHead, PositionHead, RotationHead, ShapeHead, SizeHead,
+    BlockHead, PositionHead, Rotation6DHead, RotationHead, ShapeHead,
+    SizeHead,
 )
 from sqtpu.models.nets import GenericNetSQ, KerasIsoNet, KerasRotNet  # noqa: F401
 from sqtpu.models.resnet import BasicBlock, ResNet18, ResNetSQ, params_vector  # noqa: F401
@@ -11,16 +12,20 @@ from sqtpu.models.torch_port import (  # noqa: F401
     load_torchvision_resnet18,
 )
 
+import functools
+
 MODEL_REGISTRY = {
     "resnet_sq": ResNetSQ,
+    # continuous 6D rotation representation head (Zhou et al. CVPR 2019)
+    "resnet_sq6d": functools.partial(ResNetSQ, rot6d=True),
     "generic_sq": GenericNetSQ,
     "keras_iso": KerasIsoNet,
     "keras_rot": KerasRotNet,
 }
 
 # parameter-vector width each model family regresses
-OUTPUT_DIMS = {"resnet_sq": 12, "generic_sq": 4, "keras_iso": 8,
-               "keras_rot": 12}
+OUTPUT_DIMS = {"resnet_sq": 12, "resnet_sq6d": 12, "generic_sq": 4,
+               "keras_iso": 8, "keras_rot": 12}
 
 
 def build_model(name: str, **kwargs):

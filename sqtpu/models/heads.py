@@ -76,3 +76,41 @@ class BlockHead(_Head):
     @nn.compact
     def __call__(self, x):
         return self._trunk(x)
+
+
+def _safe_normalize(v, eps=1e-6):
+    sumsq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(sumsq, jnp.asarray(eps, v.dtype)))
+
+
+class Rotation6DHead(_Head):
+    """Linear -> 6D rotation representation -> unit quaternion.
+
+    Not in the reference (which L2-normalizes 4 raw logits,
+    ``torch/models.py:22-30``): the quaternion (and axis-angle) maps from
+    R^n onto SO(3) are discontinuous, which hurts regression; the 6D
+    rep — two raw R^3 vectors orthonormalized by Gram-Schmidt (Zhou et
+    al., CVPR 2019, "On the Continuity of Rotation Representations in
+    Neural Networks") — is continuous. The resulting matrix converts to
+    an xyzw quaternion so every downstream consumer (losses, metrics,
+    renderer) is unchanged.
+
+    Zero logits (untrained encoder) map to the identity rotation via the
+    (1,0,0)/(0,1,0) offsets — finite value and gradient everywhere.
+    """
+
+    features: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        from sqtpu.ops import quaternion as quat
+
+        raw = self._trunk(x)
+        off = jnp.asarray([1, 0, 0, 0, 1, 0], raw.dtype)
+        a1, a2 = jnp.split(raw + off, 2, axis=-1)
+        b1 = _safe_normalize(a1)
+        b2 = _safe_normalize(
+            a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1)
+        b3 = jnp.cross(b1, b2)
+        rot = jnp.stack([b1, b2, b3], axis=-1)     # columns = basis
+        return quat.from_matrix(rot)

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sqtpu.models.heads import (
-    PositionHead, RotationHead, ShapeHead, SizeHead,
+    PositionHead, Rotation6DHead, RotationHead, ShapeHead, SizeHead,
 )
 
 
@@ -89,6 +89,7 @@ class ResNetSQ(nn.Module):
 
     fcn: int = 256
     dtype: type = None
+    rot6d: bool = False   # continuous 6D rotation head (Zhou et al.)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -100,7 +101,8 @@ class ResNetSQ(nn.Module):
         size = SizeHead(name="head_size")(h)
         shape = ShapeHead(name="head_shape")(h)
         position = PositionHead(name="head_position")(h)
-        rotation = RotationHead(name="head_rotation")(h)
+        rot_cls = Rotation6DHead if self.rot6d else RotationHead
+        rotation = rot_cls(name="head_rotation")(h)
         return size, shape, position, rotation
 
 

@@ -119,3 +119,39 @@ def test_torchvision_weight_port():
     # ported model still runs
     out = model.apply(ported, x, train=False)
     assert params_vector(out).shape == (1, 12)
+
+
+def test_rotation_6d_head():
+    """resnet_sq6d: continuous 6D rotation rep (Zhou et al.) -> unit
+    xyzw quaternion; finite value+grad at zero logits (identity rot)."""
+    import jax
+    import jax.numpy as jnp
+    from sqtpu.models import build_model, params_vector
+    from sqtpu.models.heads import Rotation6DHead
+    from sqtpu.ops import quaternion as quat
+
+    m = build_model("resnet_sq6d")
+    x = jnp.zeros((2, 64, 64, 1), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = params_vector(m.apply(v, x, train=False))
+    assert out.shape == (2, 12)
+    q = out[:, 8:12]
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1),
+                               1.0, atol=1e-5)
+    # the quaternion corresponds to an orthonormal rotation matrix
+    rot = np.asarray(quat.to_matrix(q))
+    np.testing.assert_allclose(rot @ np.transpose(rot, (0, 2, 1)),
+                               np.broadcast_to(np.eye(3), (2, 3, 3)),
+                               atol=1e-5)
+    assert np.linalg.det(rot[0]) > 0.5  # proper rotation, not reflection
+
+    # head alone: zero logits -> identity rotation, finite gradient
+    head = Rotation6DHead()
+    hv = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)))
+    hv = jax.tree_util.tree_map(jnp.zeros_like, hv)  # force zero logits
+    q0 = head.apply(hv, jnp.zeros((1, 16)))
+    np.testing.assert_allclose(np.asarray(q0), [[0, 0, 0, 1]], atol=1e-6)
+    g = jax.grad(lambda p, xx: jnp.sum(head.apply(p, xx) ** 2))(
+        hv, jnp.ones((1, 16)))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
