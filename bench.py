@@ -53,11 +53,13 @@ def main():
     state = create_train_state(model, jax.random.PRNGKey(0), cfg)
     step = make_train_step(model, cfg, mesh)
 
+    # Headline batch = REAL rendered depth maps with their labels (one
+    # resident batch, rendered once, reused each iter): BN sees real image
+    # statistics and final_loss is meaningful. Batch/iters unchanged from
+    # the round-1/2 uniform-noise bench, so numbers stay comparable.
     key = jax.random.PRNGKey(1)
-    imgs = jax.random.uniform(key, (BATCH, 256, 256, 1), jnp.float32)
-    labels = jnp.tile(
-        jnp.asarray([[0.2, 0.2, 0.2, 0.5, 0.5, 0.5, 0.5, 0.5, 0, 0, 0, 1]],
-                    jnp.float32), (BATCH, 1))
+    imgs, labels = jax.jit(
+        lambda k: make_batch(k, BATCH, 256, "hard"))(key)
 
     # Timing notes for the axon TPU tunnel: block_until_ready is NOT a
     # reliable fence (measured 50x optimistic); fetching a scalar to host

@@ -153,7 +153,7 @@ def eval_random(cfg: EvalConfig):
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
 
-    all_triples, all_mae = [], []
+    all_triples, all_mae, all_true = [], [], []
     f = open(os.path.join(cfg.out_dir, cfg.results_file), "a")
     n_batches = (cfg.n + cfg.batch_size - 1) // cfg.batch_size
     pairs_saved = 0
@@ -169,6 +169,7 @@ def eval_random(cfg: EvalConfig):
             latencies.append((time.perf_counter() - t0) / cfg.batch_size)
         all_triples.append(triple)
         all_mae.append(mae)
+        all_true.append(p_true)
         for i in range(triple.shape[0]):
             idx = b * cfg.batch_size + i
             if idx >= cfg.n:
@@ -215,8 +216,32 @@ def eval_random(cfg: EvalConfig):
 
     triples = np.concatenate(all_triples)[: cfg.n]
     maes = np.concatenate(all_mae)[: cfg.n]
+    trues = np.concatenate(all_true)[: cfg.n]
     rot_iou, full_iou = triples[:, 0], triples[:, 1]
     ang, ang_sym = triples[:, 2], triples[:, 3]
+
+    # ---- observability stratification (round-2 VERDICT task 2): rotation
+    # about axis k is unobservable from the image when the two OTHER
+    # semi-axes are (near-)equal — the cross-section superellipse is then
+    # invariant under 90° rotations, a symmetry OUTSIDE the D2 orbit the
+    # sym metrics already quotient out. Binning by the minimum pairwise
+    # size gap min|aᵢ−aⱼ| separates "metric floor from symmetric shapes"
+    # from "model misses observable rotations".
+    a_true = trues[:, 0:3]
+    asym = np.min(np.abs(a_true[:, [0, 0, 1]] - a_true[:, [1, 2, 2]]),
+                  axis=1)
+    elong = a_true.max(axis=1) / a_true.min(axis=1)
+    order = np.argsort(asym)
+    quartiles = np.array_split(order, min(4, order.size))
+    strat = []
+    for qi, idx in enumerate(quartiles):
+        strat.append({
+            "asym_lo": float(asym[idx].min()),
+            "asym_hi": float(asym[idx].max()),
+            "angle_sym": float(ang_sym[idx].mean()),
+            "rot_iou": float(rot_iou[idx].mean()),
+            "full_iou": float(full_iou[idx].mean()),
+            "n": int(idx.size)})
     print("--Rot::")
     print("Mean: ", rot_iou.mean())
     print("Std: ", rot_iou.std())
@@ -229,6 +254,14 @@ def eval_random(cfg: EvalConfig):
     print("Mean: ", ang_sym.mean())
     print("--Param MAE (12)::")
     print(maes.mean(axis=0))
+    print("--Rotation metrics by shape asymmetry (quartiles of "
+          "min pairwise |a_i - a_j|, normalized units)::")
+    print(f"{'quartile':>9} {'asym range':>17} {'angle_sym':>10} "
+          f"{'rot_iou':>8} {'full_iou':>9} {'n':>5}")
+    for qi, s in enumerate(strat):
+        print(f"{qi:>9} [{s['asym_lo']:.4f}, {s['asym_hi']:.4f}] "
+              f"{s['angle_sym']:>10.3f} {s['rot_iou']:>8.3f} "
+              f"{s['full_iou']:>9.3f} {s['n']:>5}")
     if latencies:
         print(f"--Per-image latency (render+predict+score): "
               f"{1e3 * float(np.mean(latencies)):.3f} ms")
@@ -238,13 +271,25 @@ def eval_random(cfg: EvalConfig):
     np.savez(os.path.join(cfg.out_dir, "accs.npz"),
              rot_iou=rot_iou, full_iou=full_iou, angle=ang,
              angle_sym=ang_sym, mae=maes,
-             predict_latency_s=np.asarray(
-                 [predict_latency["batch1"],
-                  predict_latency[f"batch{cfg.batch_size}"]]))
+             true_params=trues, asym=asym, elongation=elong,
+             # self-describing latency fields (round-2 VERDICT weak #8):
+             # the BATCHED number is the reference-comparable figure
+             # (py/test_isometry.py:47-52 semantics); batch-1 through the
+             # tunneled TPU of this environment is dominated by network
+             # round-trips, not hardware
+             predict_latency_batched_s=predict_latency[
+                 f"batch{cfg.batch_size}"],
+             predict_latency_batched_size=cfg.batch_size,
+             predict_latency_batch1_s=predict_latency["batch1"],
+             predict_latency_note=np.str_(
+                 "batch1 includes per-call host<->device round-trip "
+                 "(~0.15 s through this environment's TPU tunnel; not "
+                 "hardware latency) — quote the batched number"))
     return {"rot_iou_mean": float(rot_iou.mean()),
             "full_iou_mean": float(full_iou.mean()),
             "angle_mean": float(ang.mean()),
             "angle_sym_mean": float(ang_sym.mean()),
+            "by_asymmetry_quartile": strat,
             "predict_latency_ms": {k: 1e3 * v
                                    for k, v in predict_latency.items()},
             "param_mae": maes.mean(axis=0).tolist()}

@@ -238,9 +238,14 @@ def rotation_moment_loss(q_pred: jax.Array, p_true: jax.Array,
 # Plain supervised MSE (2019 Keras pipeline)
 # ---------------------------------------------------------------------------
 
-def param_mse(pred: jax.Array, true: jax.Array) -> jax.Array:
-    """Label-space MSE — the 2019 isometry model's loss (``py/models.py:52``)."""
-    return jnp.mean((pred - true) ** 2)
+def param_mse(pred: jax.Array, true: jax.Array,
+              reduce: bool = True) -> jax.Array:
+    """Label-space MSE — the 2019 isometry model's loss (``py/models.py:52``).
+
+    ``reduce=False`` returns the per-sample mean over the parameter axis
+    (for per-sample loss weighting, e.g. elongation-aware training)."""
+    per = jnp.mean((pred - true) ** 2, axis=-1)
+    return jnp.mean(per) if reduce else per
 
 
 def param_mae(pred: jax.Array, true: jax.Array) -> jax.Array:
@@ -250,6 +255,15 @@ def param_mae(pred: jax.Array, true: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # 2019 TF "chamfer" loss (occupancy-field MSE, world units)
 # ---------------------------------------------------------------------------
+
+def torch_to_keras_norm(p: jax.Array) -> jax.Array:
+    """Re-normalize a torch-convention 12-vector (a/255, e, t/255, q —
+    ``torch/helpers.py:206-211``) to the keras convention ((a−25)/50, e,
+    t/255, q — ``py/data_generators.py:27-30``, quirk Q10): only the size
+    block changes, a_k = (255·a_t − 25)/50."""
+    a = p[..., 0:3] * 5.1 - 0.5
+    return jnp.concatenate([a, p[..., 3:]], axis=-1)
+
 
 def _keras_field(p: jax.Array, size: int = 64) -> jax.Array:
     """The 2019 TF inside-outside variant (``py/loss_functions.py:26-53``):
@@ -269,17 +283,37 @@ def _keras_field(p: jax.Array, size: int = 64) -> jax.Array:
     A = jnp.abs(x) ** (2.0 / e[1])
     B = jnp.abs(y) ** (2.0 / e[1])
     C = jnp.abs(z) ** (2.0 / e[0])
-    E = jnp.abs(A + B) ** (e[1] / e[0])
+    # E = |A+B|^(e2/e1) in log space with the exponent capped at 80:
+    # the direct pow overflows fp32 (and poisons gradients with inf·0)
+    # when A+B ≈ 1e25 meets e2/e1 up to 10 → 1e250. For clamped e
+    # (ratio ≥ 0.1) the cap only bites where E ≥ exp(8) ≈ 3e3 anyway —
+    # bit-exact below that, merely FINITE (≤ exp(80) ≈ 5.5e34) where the
+    # TF original is inf (see keras_occupancy_mse's overflow note).
+    log_d = jnp.log(jnp.maximum(A + B, jnp.asarray(1e-30, p.dtype)))
+    E = jnp.exp(jnp.minimum((e[1] / e[0]) * log_d,
+                            jnp.asarray(80.0, p.dtype)))
     return E + C
 
 
-@partial(jax.jit, static_argnames=("size",))
-def keras_occupancy_mse(true_p: jax.Array, pred_p: jax.Array, size: int = 64):
+@partial(jax.jit, static_argnames=("size", "clip"))
+def keras_occupancy_mse(true_p: jax.Array, pred_p: jax.Array, size: int = 64,
+                        clip: float = 0.0):
     """The 2019 ``chamfer_loss`` (``py/loss_functions.py:91-101``) — an
     occupancy-field MSE despite its name (quirk Q9), batched (the TF
-    original hardcoded batch=1)."""
+    original hardcoded batch=1).
+
+    ``clip > 0`` caps the field at that value before the MSE. The TF
+    original runs fp32 with NO cap, so at e = 0.1 the far-grid field
+    reaches ~1e25 and its square overflows to inf — the 2019 rotation
+    regime is numerically broken as written (alongside quirks Q8/Q9).
+    The default (0 = no clip) is reference-parity for the golden tests;
+    training passes a cap, which keeps the full gradient signal in the
+    |F − clip-band| region around the surface (F = 1)."""
     f_t = jax.vmap(lambda p: _keras_field(p, size))(true_p)
     f_p = jax.vmap(lambda p: _keras_field(p, size))(pred_p)
+    if clip > 0:
+        f_t = jnp.minimum(f_t, clip)
+        f_p = jnp.minimum(f_p, clip)
     return jnp.mean((f_t - f_p) ** 2)
 
 

@@ -85,7 +85,7 @@ def make_batch_dp(
 
     n_data = mesh.shape["data"]
     assert batch % n_data == 0, (
-        f"batch {batch} must divide the data axis {n_data}")
+        f"data axis size {n_data} must divide batch {batch}")
 
     def local(k):
         k_local = jax.random.fold_in(k[0], jax.lax.axis_index("data"))

@@ -38,6 +38,23 @@ from sqtpu.utils.config import TrainConfig
 from sqtpu.utils.logging import MetricLogger, NanGuard, Throughput
 
 
+def _elong_weights(cfg: TrainConfig, labels):
+    """Per-sample weights emphasizing elongated shapes, or None when off.
+
+    Round-2 per-sample analysis: closed-loop full-IoU residual
+    anti-correlates with elongation max(a)/min(a) at r = −0.61 (thin
+    volumes punish small absolute size/position errors), so with
+    ``elong_weight`` w > 0 a sample's supervised loss is scaled by
+    1 + w·(elongation − 1), normalized to mean 1 so the effective LR is
+    unchanged."""
+    if cfg.elong_weight <= 0:
+        return None
+    a = labels[..., 0:3]
+    elong = jnp.max(a, axis=-1) / jnp.maximum(jnp.min(a, axis=-1), 1e-6)
+    w = 1.0 + cfg.elong_weight * (elong - 1.0)
+    return w / jnp.mean(w)
+
+
 def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
     """Loss selection (reference's commented-out alternatives,
     ``torch/train.py:62-64``, promoted to config)."""
@@ -76,19 +93,25 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # block-parameter MSE + antipodal-symmetric quaternion loss
         # (BASELINE config 2: explicit supervision of size/shape/position
         # plus rotation)
-        block = losses.param_mse(pred[..., :8], labels[..., :8])
-        quat_l = losses.quaternion_loss(pred[..., 8:12], labels[..., 8:12])
-        return block + quat_l
+        per = (losses.param_mse(pred[..., :8], labels[..., :8],
+                                reduce=False)
+               + losses.quaternion_loss(pred[..., 8:12], labels[..., 8:12],
+                                        reduce=False))
+        w = _elong_weights(cfg, labels)
+        return jnp.mean(per if w is None else per * w)
     if cfg.loss == "supervised_sym":
         # like "supervised" but rotation-symmetry-aware: the quaternion
         # target is only defined up to the SQ's D2 flip orbit (two orbit
         # members render identical images), so plain regression averages
         # over the orbit and never learns rotation — the min-over-orbit
         # loss makes the target well-posed (VERDICT round 1, weak #2).
-        block = losses.param_mse(pred[..., :8], labels[..., :8])
-        quat_l = losses.quaternion_loss_sym(pred[..., 8:12],
-                                            labels[..., 8:12])
-        return block + quat_l
+        per = (losses.param_mse(pred[..., :8], labels[..., :8],
+                                reduce=False)
+               + losses.quaternion_loss_sym(pred[..., 8:12],
+                                            labels[..., 8:12],
+                                            reduce=False))
+        w = _elong_weights(cfg, labels)
+        return jnp.mean(per if w is None else per * w)
     if cfg.loss == "quaternion":
         # rotation-only experiments (GenericNetSQ,
         # torch/models.py:125-169): reference QuaternionLoss shape
@@ -100,11 +123,36 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # supervised_sym + the observability-weighted second-moment
         # orientation term (see losses.rotation_moment_loss) — the
         # round-2 rotation warm-up recipe
-        block = losses.param_mse(pred[..., :8], labels[..., :8])
-        quat_l = losses.quaternion_loss_sym(pred[..., 8:12],
-                                            labels[..., 8:12])
-        geo = losses.rotation_moment_loss(pred[..., 8:12], labels)
-        return block + quat_l + cfg.geo_weight * geo
+        per = (losses.param_mse(pred[..., :8], labels[..., :8],
+                                reduce=False)
+               + losses.quaternion_loss_sym(pred[..., 8:12],
+                                            labels[..., 8:12],
+                                            reduce=False)
+               + cfg.geo_weight * losses.rotation_moment_loss(
+                   pred[..., 8:12], labels, reduce=False))
+        w = _elong_weights(cfg, labels)
+        return jnp.mean(per if w is None else per * w)
+    if cfg.loss == "keras_chamfer":
+        # the 2019 rotation regime (py/train_rotation.py:36-40 trains
+        # Dense(12) under py/loss_functions.py:91-101's "chamfer_loss").
+        # The pipeline's labels/predictions are torch-normalized; the TF
+        # loss consumes keras normalization (quirk Q10), so both sides are
+        # re-normalized inside the loss — the model's output space stays
+        # consistent with every other sqtpu loss/eval path.
+        # Deviation for trainability: the TF loss never clamps, so a raw
+        # Dense(12) head's e ≤ 0 makes |x|^(2/e) non-finite at step 0;
+        # clamp like the torch losses do (classes.py:129-136) and
+        # normalize the predicted quaternion before the field.
+        from sqtpu.ops import geometry, quaternion
+        pred12 = geometry.clamp_params(pred[..., :12])
+        pred12 = pred12.at[..., 8:12].set(
+            quaternion.normalize(pred12[..., 8:12]))
+        # clip=100: the unclipped fp32 field square overflows to inf at
+        # e = 0.1 (see keras_occupancy_mse) — the cap keeps all signal
+        # around the surface band F = 1
+        return losses.keras_occupancy_mse(
+            losses.torch_to_keras_norm(labels[..., :12]),
+            losses.torch_to_keras_norm(pred12), clip=100.0)
     if cfg.loss == "implicit_sym":
         # self-supervised depth MAE anchored by a small symmetry-aware
         # supervised term (rotation warm-up -> implicit fine-tune recipe)
@@ -422,6 +470,7 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         from sqtpu.utils.profiling import trace
         profile_stack.enter_context(trace(cfg.profile_dir))
 
+    epoch = last_saved_epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.max_epochs):
         key, epoch_key = jax.random.split(key)
         # Steps are dispatched asynchronously; the loss is fetched to host
@@ -512,11 +561,11 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
             saved = ""
         last_every = max(int(getattr(cfg, "save_last_interval", 1)), 1)
         if cfg.ckpt_dir and getattr(cfg, "save_last", True) and (
-                epoch % last_every == last_every - 1
-                or epoch == cfg.max_epochs - 1):
+                epoch % last_every == last_every - 1):
             # crash-recovery checkpoint (SURVEY.md §5.3: the reference has
             # no failure-recovery story beyond manual best-ckpt restarts)
             save_checkpoint(last_path, state, history, epoch)
+            last_saved_epoch = epoch
         MetricLogger.line(
             f"Epoch {epoch}: loss {train_loss:.6f}  val_loss {val_loss:.6f} "
             f"val_acc {val_acc:.6f}  {epoch_rate:.0f} imgs/s{saved}")
@@ -524,6 +573,12 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
                    val_acc=val_acc, val_angle_sym=val_ang,
                    lr=get_lr(state), imgs_per_sec=epoch_rate)
 
+    # 'last' must reflect the final state on ANY loop exit (normal end,
+    # early stop, or a future break path) — the periodic save above can be
+    # up to save_last_interval-1 epochs stale (round-2 advisor finding)
+    if (cfg.ckpt_dir and getattr(cfg, "save_last", True)
+            and epoch > last_saved_epoch):
+        save_checkpoint(last_path, state, history, epoch)
     profile_stack.close()
     return state, history
 

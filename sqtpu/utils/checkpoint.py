@@ -89,7 +89,9 @@ def _flatten(tree, prefix=""):
 def save_weights_npz(path: str, variables: dict, dtype=np.float16) -> None:
     """Write model variables ({'params': ..., 'batch_stats': ...}) as a
     flat compressed npz. ``dtype`` trades file size for precision
-    (float16 halves the artifact; BN running stats stay fp32)."""
+    (float16 halves the artifact; BN running stats stay fp32).
+    ``None`` subtrees (e.g. batch_stats of a BN-free model) are skipped."""
+    variables = {k: v for k, v in variables.items() if v is not None}
     flat = _flatten(jax.device_get(variables))
     cast = {k: (v if "batch_stats" in k or v.dtype.kind != "f"
                 else v.astype(dtype)) for k, v in flat.items()}
@@ -103,12 +105,17 @@ def load_weights_npz(path: str, variables: dict) -> dict:
     data = np.load(_abs(path))
 
     def rebuild(tree, prefix=""):
+        if tree is None:
+            # BN-free model: batch_stats was skipped at save time
+            return None
         if isinstance(tree, dict):
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
         key = prefix[:-1]
         arr = data[key]
-        assert arr.shape == tuple(np.shape(tree)), \
-            f"{key}: {arr.shape} vs {np.shape(tree)}"
+        if arr.shape != tuple(np.shape(tree)):
+            raise ValueError(
+                f"weights npz mismatch at {key}: file has {arr.shape}, "
+                f"model expects {tuple(np.shape(tree))}")
         return arr.astype(tree.dtype)
 
     return rebuild(jax.device_get(variables))

@@ -21,10 +21,14 @@ class TrainConfig:
     loss: str = "implicit"            # implicit | explicit | leastsquares | param_mse
     #   | supervised | supervised_sym | supervised_geo | implicit_sym
     #   | quaternion | quaternion_sym (rotation-only models)
+    #   | keras_chamfer (the 2019 rotation regime, py/train_rotation.py)
     aux_weight: float = 0.05          # supervised anchor in implicit_sym
     geo_weight: float = 1.0           # second-moment term in supervised_geo
     # (keep small: at 5.0 the term drowns the param-MSE gradients and
     # stalls size/position learning — measured on-chip, round 2)
+    elong_weight: float = 0.0         # >0: weight supervised per-sample
+    # losses by 1 + w·(elongation−1) — full-IoU residual anti-correlates
+    # with elongation (r = −0.61, round-2 analysis)
     render_size: int = 64
     tau: float = 1.5
     sigmoid_sharpness: float = 260.0

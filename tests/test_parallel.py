@@ -61,11 +61,10 @@ def test_batch_sharding_spreads_data(batch):
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(imgs))
 
 
-def test_make_batch_dp_shards_generation():
+def test_make_batch_dp_shards_generation(monkeypatch):
     """DP data generation: each device renders its own batch shard; the
     combined output matches make_batch's distribution and conventions."""
-    import os
-    os.environ["SQTPU_PALLAS_INTERPRET"] = "1"
+    monkeypatch.setenv("SQTPU_PALLAS_INTERPRET", "1")
     from sqtpu.parallel.sharded_losses import make_batch_dp
 
     mesh = make_mesh(n_data=8, n_grid=1)

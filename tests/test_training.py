@@ -165,10 +165,13 @@ def test_nan_policy_skip_preserves_state(tiny_setup):
         np.asarray(jax.tree_util.tree_leaves(new_state2.params)[0]), before)
 
 
-@pytest.mark.parametrize("loss_name", ["supervised_sym", "implicit_sym"])
+@pytest.mark.parametrize("loss_name", ["supervised_sym", "implicit_sym",
+                                       "supervised_geo", "keras_chamfer"])
 def test_new_loss_selections_train(tiny_setup, loss_name):
-    """The rotation-recipe losses must compile and produce finite grads
-    in the full train step (supervised warm-up / anchored fine-tune)."""
+    """The rotation-recipe losses — and the 2019 rotation regime's
+    keras_chamfer (py/train_rotation.py:36-40 under
+    py/loss_functions.py:91-101) — must compile and produce finite grads
+    in the full train step."""
     import dataclasses
     cfg, model, state, imgs, labels = tiny_setup
     cfg2 = dataclasses.replace(cfg, loss=loss_name, aux_weight=0.05)
@@ -180,6 +183,37 @@ def test_new_loss_selections_train(tiny_setup, loss_name):
         lambda a, b: np.any(np.asarray(a) != np.asarray(b)),
         new_state.params, state.params)
     assert any(jax.tree_util.tree_leaves(moved))
+
+
+def test_elongation_weighting():
+    """elong_weight > 0 reweights supervised per-sample losses toward
+    elongated shapes; a uniform-elongation batch is unaffected (weights
+    normalize to mean 1)."""
+    import dataclasses
+    from sqtpu.training.loop import _compute_loss
+
+    cfg = TrainConfig(loss="supervised_sym")
+    labels = jnp.asarray(
+        [[0.1, 0.1, 0.1, 0.5, 0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 1.0],
+         [0.3, 0.1, 0.1, 0.5, 0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 1.0]])
+    pred = labels.at[0, 0].add(0.05).at[1, 0].add(0.05)
+    base = float(_compute_loss(cfg, pred, None, labels))
+    cfgw = dataclasses.replace(cfg, elong_weight=2.0)
+    weighted = float(_compute_loss(cfgw, pred, None, labels))
+    # sample 1 (elongation 3) carries the same error as sample 0
+    # (elongation 1) -> upweighting it must NOT change the mean here...
+    assert weighted == pytest.approx(base, rel=1e-6)
+    # ...but when only the ELONGATED sample errs, the weighted loss rises
+    pred2 = labels.at[1, 0].add(0.1)
+    base2 = float(_compute_loss(cfg, pred2, None, labels))
+    weighted2 = float(_compute_loss(cfgw, pred2, None, labels))
+    assert weighted2 > base2 * 1.2
+    # uniform elongation: weighting is a no-op
+    labels_u = jnp.tile(labels[:1], (2, 1))
+    pred_u = labels_u.at[0, 0].add(0.1)
+    assert float(_compute_loss(cfgw, pred_u, None, labels_u)) == \
+        pytest.approx(float(_compute_loss(cfg, pred_u, None, labels_u)),
+                      rel=1e-6)
 
 
 def test_remat_train_step_matches(tiny_setup):
