@@ -139,20 +139,27 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # loss consumes keras normalization (quirk Q10), so both sides are
         # re-normalized inside the loss — the model's output space stays
         # consistent with every other sqtpu loss/eval path.
-        # Deviation for trainability: the TF loss never clamps, so a raw
-        # Dense(12) head's e ≤ 0 makes |x|^(2/e) non-finite at step 0;
-        # clamp like the torch losses do (classes.py:129-136) and
-        # normalize the predicted quaternion before the field.
+        # Deviations for trainability: the TF loss never clamps, so a raw
+        # Dense(12) head's e ≤ 0 makes |x|^(2/e) non-finite at step 0.
+        # A hard clamp alone kills all gradient outside the valid box
+        # (measured: 40 epochs leave |params| at ~10-130, runs/
+        # eval_kerasrot round 3), so the field sees clamped+normalized
+        # params with STRAIGHT-THROUGH gradients, plus a quadratic
+        # penalty pulling the raw outputs into the box.
         from sqtpu.ops import geometry, quaternion
-        pred12 = geometry.clamp_params(pred[..., :12])
-        pred12 = pred12.at[..., 8:12].set(
+        pred12 = pred[..., :12]
+        clamped = geometry.clamp_params(pred12)
+        clamped = clamped.at[..., 8:12].set(
             quaternion.normalize(pred12[..., 8:12]))
+        st = pred12 + jax.lax.stop_gradient(clamped - pred12)
+        range_penalty = jnp.mean(
+            (pred12 - jax.lax.stop_gradient(clamped)) ** 2)
         # clip=100: the unclipped fp32 field square overflows to inf at
         # e = 0.1 (see keras_occupancy_mse) — the cap keeps all signal
         # around the surface band F = 1
         return losses.keras_occupancy_mse(
             losses.torch_to_keras_norm(labels[..., :12]),
-            losses.torch_to_keras_norm(pred12), clip=100.0)
+            losses.torch_to_keras_norm(st), clip=100.0) + range_penalty
     if cfg.loss == "implicit_sym":
         # self-supervised depth MAE anchored by a small symmetry-aware
         # supervised term (rotation warm-up -> implicit fine-tune recipe)
