@@ -219,6 +219,8 @@ def eval_random(cfg: EvalConfig):
     trues = np.concatenate(all_true)[: cfg.n]
     rot_iou, full_iou = triples[:, 0], triples[:, 1]
     ang, ang_sym = triples[:, 2], triples[:, 3]
+    ang_gauge, rot_iou_gauge = triples[:, 4], triples[:, 5]
+    gauge_swapped = triples[:, 6]
 
     # ---- observability stratification (round-2 VERDICT task 2): rotation
     # about axis k is unobservable from the image when the two OTHER
@@ -239,7 +241,9 @@ def eval_random(cfg: EvalConfig):
             "asym_lo": float(asym[idx].min()),
             "asym_hi": float(asym[idx].max()),
             "angle_sym": float(ang_sym[idx].mean()),
+            "angle_gauge": float(ang_gauge[idx].mean()),
             "rot_iou": float(rot_iou[idx].mean()),
+            "rot_iou_gauge": float(rot_iou_gauge[idx].mean()),
             "full_iou": float(full_iou[idx].mean()),
             "n": int(idx.size)})
     print("--Rot::")
@@ -252,15 +256,23 @@ def eval_random(cfg: EvalConfig):
     print("Mean: ", ang.mean())
     print("--Angle err mod D2 symmetry (rad)::")
     print("Mean: ", ang_sym.mean())
+    print("--Angle err mod FULL D4 gauge (rad)::")
+    print("Mean: ", ang_gauge.mean())
+    print("--Rot-IoU vs gauge-aligned decomposition::")
+    print("Mean: ", rot_iou_gauge.mean())
+    print(f"--Gauge-swapped predictions (a1<->a2 + z quarter-turn): "
+          f"{100.0 * gauge_swapped.mean():.1f}%")
     print("--Param MAE (12)::")
     print(maes.mean(axis=0))
     print("--Rotation metrics by shape asymmetry (quartiles of "
           "min pairwise |a_i - a_j|, normalized units)::")
     print(f"{'quartile':>9} {'asym range':>17} {'angle_sym':>10} "
-          f"{'rot_iou':>8} {'full_iou':>9} {'n':>5}")
+          f"{'ang_gauge':>10} {'rot_iou':>8} {'rotIoU_g':>9} "
+          f"{'full_iou':>9} {'n':>5}")
     for qi, s in enumerate(strat):
         print(f"{qi:>9} [{s['asym_lo']:.4f}, {s['asym_hi']:.4f}] "
-              f"{s['angle_sym']:>10.3f} {s['rot_iou']:>8.3f} "
+              f"{s['angle_sym']:>10.3f} {s['angle_gauge']:>10.3f} "
+              f"{s['rot_iou']:>8.3f} {s['rot_iou_gauge']:>9.3f} "
               f"{s['full_iou']:>9.3f} {s['n']:>5}")
     if latencies:
         print(f"--Per-image latency (render+predict+score): "
@@ -270,7 +282,9 @@ def eval_random(cfg: EvalConfig):
               f"{1e3 * lat:.3f} ms")
     np.savez(os.path.join(cfg.out_dir, "accs.npz"),
              rot_iou=rot_iou, full_iou=full_iou, angle=ang,
-             angle_sym=ang_sym, mae=maes,
+             angle_sym=ang_sym, angle_gauge=ang_gauge,
+             rot_iou_gauge=rot_iou_gauge, gauge_swapped=gauge_swapped,
+             mae=maes,
              true_params=trues, asym=asym, elongation=elong,
              # self-describing latency fields (round-2 VERDICT weak #8):
              # the BATCHED number is the reference-comparable figure
@@ -289,6 +303,9 @@ def eval_random(cfg: EvalConfig):
             "full_iou_mean": float(full_iou.mean()),
             "angle_mean": float(ang.mean()),
             "angle_sym_mean": float(ang_sym.mean()),
+            "angle_gauge_mean": float(ang_gauge.mean()),
+            "rot_iou_gauge_mean": float(rot_iou_gauge.mean()),
+            "gauge_swapped_frac": float(gauge_swapped.mean()),
             "by_asymmetry_quartile": strat,
             "predict_latency_ms": {k: 1e3 * v
                                    for k, v in predict_latency.items()},

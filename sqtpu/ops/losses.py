@@ -201,6 +201,59 @@ def quaternion_loss_sym(q_pred: jax.Array, q_true: jax.Array,
     return jnp.mean(theta) if reduce else theta
 
 
+_SQ2 = 0.7071067811865476
+
+# The FULL gauge group of the 12-parameter superquadric decomposition is
+# D4, not just the D2 flip orbit: a 90° body rotation about z together
+# with swapping a1 ↔ a2 leaves F (hence every rendered image AND every
+# voxelization) exactly invariant for ALL exponents, because both x and
+# y carry the same exponent 2/e2. Two decompositions related by any of
+# the 8 elements are indistinguishable from data — discovered round 3
+# when the explicit-loss model scored full IoU 0.92 with "chance-level"
+# D2 sym-angle: it predicts xy-swapped decompositions freely.
+SQ_GAUGE_QUATS_SWAP = (
+    (0.0, 0.0, _SQ2, _SQ2),    # Rz(+90): swaps a1 <-> a2
+    (0.0, 0.0, -_SQ2, _SQ2),   # Rz(-90)
+    (_SQ2, _SQ2, 0.0, 0.0),    # 180° about (1,1,0)/√2
+    (_SQ2, -_SQ2, 0.0, 0.0),   # 180° about (1,-1,0)/√2
+)
+
+
+def param_gauge_orbit(p: jax.Array) -> jax.Array:
+    """(..., 12) -> (8, ..., 12): every equivalent decomposition of the
+    same superquadric under the D4 gauge group. Elements 0-3 are the D2
+    flips (sizes unchanged); elements 4-7 compose a z-axis quarter-turn
+    with the exact a1 ↔ a2 swap. e, t are invariant throughout."""
+    from sqtpu.ops import geometry
+    a, e, t, q = geometry.split_params(p)
+    a_sw = jnp.stack([a[..., 1], a[..., 0], a[..., 2]], axis=-1)
+
+    def variant(g, a_v):
+        qg = quat.multiply(q, jnp.broadcast_to(jnp.asarray(g, q.dtype),
+                                               q.shape))
+        return jnp.concatenate([a_v, e, t, qg], axis=-1)
+
+    return jnp.stack([variant(g, a) for g in SQ_FLIP_QUATS]
+                     + [variant(g, a_sw) for g in SQ_GAUGE_QUATS_SWAP])
+
+
+def param_gauge_loss(pred: jax.Array, labels: jax.Array,
+                     reduce: bool = True):
+    """Fully gauge-aware supervised loss: min over the 8-element D4 orbit
+    of [size/shape/position MSE + antipodal quat distance], per sample.
+
+    Resolves the ill-posedness that remains in ``supervised_sym``: under
+    D2-only symmetrization, a network whose natural output is the
+    xy-swapped decomposition receives a ~π/2 rotation penalty AND a
+    conflicting size-permutation gradient for a geometrically perfect
+    answer."""
+    orbit = param_gauge_orbit(labels[..., :12])          # (8, ..., 12)
+    block = jnp.mean((pred[None, ..., :8] - orbit[..., :8]) ** 2, axis=-1)
+    dots = jnp.sum(orbit[..., 8:12] * pred[None, ..., 8:12], axis=-1)
+    per = jnp.min(block + (1.0 - dots**2), axis=0)
+    return jnp.mean(per) if reduce else per
+
+
 def rotation_moment_loss(q_pred: jax.Array, p_true: jax.Array,
                          reduce: bool = True):
     """Observability-weighted rotation supervision: match the SQ's

@@ -48,31 +48,71 @@ def iou(
             / jnp.sum(union, axis=(1, 2, 3)).astype(true_p.dtype))
 
 
+def gauge_align(true_p: jax.Array, pred_p: jax.Array):
+    """Pick, per sample, the D4-gauge representative of the TRUE
+    decomposition closest to the prediction.
+
+    The 8 orbit members (:func:`sqtpu.ops.losses.param_gauge_orbit`) are
+    *exactly* equivalent superquadrics, so any of them is an equally
+    valid ground-truth decomposition; scoring against the nearest one
+    (criterion: size MSE + antipodal quat distance) measures real error
+    instead of decomposition-gauge mismatch. Returns ``(aligned_true,
+    swapped)`` where ``swapped`` flags samples whose best representative
+    permutes a1 ↔ a2 (orbit elements 4-7)."""
+    from sqtpu.ops.losses import param_gauge_orbit
+    orbit = param_gauge_orbit(true_p)                      # (8, B, 12)
+    block = jnp.mean((pred_p[None, ..., :3] - orbit[..., :3]) ** 2,
+                     axis=-1)
+    dots = jnp.sum(orbit[..., 8:12] * pred_p[None, ..., 8:12], axis=-1)
+    gi = jnp.argmin(block + (1.0 - dots**2), axis=0)       # (B,)
+    aligned = jnp.take_along_axis(
+        orbit, gi[None, ..., None], axis=0)[0]
+    return aligned, gi >= 4
+
+
+def angle_error_gauge(true_p: jax.Array, pred_p: jax.Array) -> jax.Array:
+    """Rotation angle against the gauge-aligned true decomposition."""
+    aligned, _ = gauge_align(true_p, pred_p)
+    return angle_error(aligned[..., 8:12], pred_p[..., 8:12])
+
+
 @partial(jax.jit, static_argnames=("render_size",))
 def iou_full(
     true_p: jax.Array, pred_p: jax.Array, render_size: int = 64
 ) -> jax.Array:
-    """(B, 4) per sample: [rot-isolated IoU, full IoU, angle, sym-angle].
+    """(B, 7) per sample: [rot-isolated IoU, full IoU, angle, sym-angle,
+    gauge-angle, gauge rot-IoU, gauge-swapped flag].
 
     Rotation-isolated IoU swaps only the predicted quaternion into the true
     parameters, isolating orientation error from size/shape/position error;
     ``angle`` = |rotation angle of q_true · q_pred*| in radians (the
     reference's evidently-intended "angle-magnitude", quirk Q7);
     ``sym-angle`` = the same minimized over the SQ's exact D2 symmetry
-    orbit (:func:`angle_error_sym`) — the physically meaningful error,
-    since the four orbit members render IDENTICAL depth images (raw angle
-    against a random orbit representative is lower-bounded at ~2.36 rad
-    chance level even for a perfect geometric recovery).
+    orbit (:func:`angle_error_sym`) — since the orbit members render
+    IDENTICAL depth images, the raw angle against a random orbit
+    representative is lower-bounded at ~2.36 rad chance level even for a
+    perfect geometric recovery. The ``gauge-*`` columns extend this to
+    the FULL D4 gauge group (including the exact a1↔a2 + z-quarter-turn
+    equivalence): the aligned representative replaces the raw truth in
+    both the angle and the rotation-isolated IoU, so a geometrically
+    perfect recovery scores perfectly regardless of which equivalent
+    decomposition the model outputs.
     """
     a_t, e_t, t_t, q_t = geometry.split_params(true_p)
     _, _, _, q_p = geometry.split_params(pred_p)
     rot_only = jnp.concatenate([a_t, e_t, t_t, q_p], axis=-1)
 
+    aligned, swapped = gauge_align(true_p, pred_p)
+    rot_only_g = jnp.concatenate([aligned[..., :8], q_p], axis=-1)
+
     iou_rot = iou(true_p, rot_only, render_size, reduce=False)
     iou_all = iou(true_p, pred_p, render_size, reduce=False)
+    iou_rot_g = iou(aligned, rot_only_g, render_size, reduce=False)
     ang = angle_error(q_t, q_p)
     ang_sym = angle_error_sym(q_t, q_p)
-    return jnp.stack([iou_rot, iou_all, ang, ang_sym], axis=-1)
+    ang_gauge = angle_error(aligned[..., 8:12], q_p)
+    return jnp.stack([iou_rot, iou_all, ang, ang_sym, ang_gauge,
+                      iou_rot_g, swapped.astype(true_p.dtype)], axis=-1)
 
 
 def angle_error(q_true: jax.Array, q_pred: jax.Array) -> jax.Array:

@@ -170,6 +170,32 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
             dataclasses.replace(cfg, loss="supervised_sym"), pred, imgs,
             labels, mesh)
         return impl + cfg.aux_weight * sup
+    if cfg.loss == "supervised_gauge":
+        # fully gauge-aware supervision: min over the D4 orbit of
+        # size/shape/position MSE + quat distance (losses.param_gauge_loss)
+        per = losses.param_gauge_loss(pred[..., :12], labels, reduce=False)
+        w = _elong_weights(cfg, labels)
+        return jnp.mean(per if w is None else per * w)
+    if cfg.loss == "explicit_gauge":
+        # gauge-invariant geometry supervision (explicit occupancy MSE —
+        # measured round 3: full IoU 0.92 on its own) + the gauge-aware
+        # decomposition anchor that canonicalizes WHICH of the 8
+        # equivalent decompositions the net outputs (high rot-IoU/low
+        # gauge-angle without disturbing the geometry)
+        expl = losses.explicit_loss(labels, pred, cfg.render_size)
+        per = losses.param_gauge_loss(pred[..., :12], labels, reduce=False)
+        w = _elong_weights(cfg, labels)
+        return expl + cfg.gauge_weight * jnp.mean(
+            per if w is None else per * w)
+    if cfg.loss == "implicit_gauge":
+        # self-supervised depth MAE + gauge-aware supervised anchor
+        impl = _compute_loss(
+            dataclasses.replace(cfg, loss="implicit"), pred, imgs, labels,
+            mesh)
+        per = losses.param_gauge_loss(pred[..., :12], labels, reduce=False)
+        w = _elong_weights(cfg, labels)
+        return impl + cfg.aux_weight * jnp.mean(
+            per if w is None else per * w)
     raise ValueError(f"unknown loss {cfg.loss}")
 
 

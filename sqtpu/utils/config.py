@@ -22,7 +22,10 @@ class TrainConfig:
     #   | supervised | supervised_sym | supervised_geo | implicit_sym
     #   | quaternion | quaternion_sym (rotation-only models)
     #   | keras_chamfer (the 2019 rotation regime, py/train_rotation.py)
-    aux_weight: float = 0.05          # supervised anchor in implicit_sym
+    #   | supervised_gauge | explicit_gauge | implicit_gauge (full-D4-
+    #     gauge-aware variants; see losses.param_gauge_loss)
+    aux_weight: float = 0.05          # supervised anchor in implicit_sym/_gauge
+    gauge_weight: float = 1.0         # decomposition anchor in explicit_gauge
     geo_weight: float = 1.0           # second-moment term in supervised_geo
     # (keep small: at 5.0 the term drowns the param-MSE gradients and
     # stalls size/position learning — measured on-chip, round 2)

@@ -77,10 +77,10 @@ def test_sym_angle_error_zero_on_orbit(params):
         np.testing.assert_allclose(sym, 0.0, atol=1e-5)    # sym does not
 
 
-def test_iou_full_four_columns(params):
+def test_iou_full_columns(params):
     out = np.asarray(metrics.iou_full(params, jnp.roll(params, 1, axis=0),
                                       render_size=16))
-    assert out.shape == (3, 4)
+    assert out.shape == (3, 7)
     assert np.all(out[:, 3] <= out[:, 2] + 1e-6)  # sym-angle <= raw angle
 
 
@@ -124,3 +124,59 @@ def test_rotation_moment_loss_properties(params):
     p_sph = params.at[:, 1].set(params[:, 0]).at[:, 2].set(params[:, 0])
     p_sph = p_sph.at[:, 3].set(1.0).at[:, 4].set(1.0)
     assert float(losses.rotation_moment_loss(q_other, p_sph)) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# D4 gauge group (round 3): a z quarter-turn + a1<->a2 swap is ALSO exact
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gi", list(range(8)))
+def test_gauge_orbit_members_are_exact_equivalences(params, gi):
+    """Every element of param_gauge_orbit voxelizes AND renders
+    identically to the original — the decomposition is gauge."""
+    orbit = losses.param_gauge_orbit(params)
+    pg = orbit[gi]
+    per = metrics.iou(params, pg, render_size=32, reduce=False)
+    np.testing.assert_allclose(np.asarray(per), 1.0, atol=1e-6)
+    img_a = render_depth_hard(params[0], 64, quantize=True)
+    img_b = render_depth_hard(pg[0], 64, quantize=True)
+    same = np.mean(np.asarray(img_a) == np.asarray(img_b))
+    assert same > 0.999
+
+
+def test_gauge_loss_zero_on_orbit_positive_off(params):
+    orbit = losses.param_gauge_orbit(params)
+    for gi in range(8):
+        v = float(losses.param_gauge_loss(orbit[gi], params))
+        assert v < 1e-5, (gi, v)  # fp32 quat-multiply rounding
+    # a genuinely rotated prediction is penalized
+    bad = params.at[:, 8:12].set(
+        jnp.asarray([0.3, 0.2, 0.5, 0.78], params.dtype))
+    assert float(losses.param_gauge_loss(bad, params)) > 1e-3
+
+
+def test_gauge_align_recovers_swap(params):
+    """A prediction equal to the swapped decomposition aligns to it:
+    gauge angle 0, swapped flag set, while the D2 sym-angle sees ~pi/2."""
+    orbit = losses.param_gauge_orbit(params)
+    pred = orbit[4]  # Rz(+90) + size swap
+    aligned, swapped = metrics.gauge_align(params, pred)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(pred),
+                               atol=1e-6)
+    assert bool(np.all(np.asarray(swapped)))
+    ang_g = metrics.angle_error_gauge(params, pred)
+    np.testing.assert_allclose(np.asarray(ang_g), 0.0, atol=1e-5)
+    ang_sym = metrics.angle_error_sym(params[:, 8:12], pred[:, 8:12])
+    assert float(np.min(np.asarray(ang_sym))) > 1.0  # ~pi/2 under D2 only
+
+
+def test_iou_full_gauge_columns(params):
+    """iou_full returns the 7-column triple; a swapped-decomposition
+    prediction scores gauge rot-IoU 1.0 but D2 rot-IoU < 1."""
+    pred = losses.param_gauge_orbit(params)[4]
+    out = np.asarray(metrics.iou_full(params, pred, render_size=32))
+    assert out.shape == (params.shape[0], 7)
+    np.testing.assert_allclose(out[:, 5], 1.0, atol=1e-6)  # gauge rot-IoU
+    np.testing.assert_allclose(out[:, 1], 1.0, atol=1e-6)  # full IoU
+    np.testing.assert_allclose(out[:, 6], 1.0, atol=1e-6)  # swap flag
+    np.testing.assert_allclose(out[:, 4], 0.0, atol=1e-5)  # gauge angle

@@ -166,7 +166,9 @@ def test_nan_policy_skip_preserves_state(tiny_setup):
 
 
 @pytest.mark.parametrize("loss_name", ["supervised_sym", "implicit_sym",
-                                       "supervised_geo", "keras_chamfer"])
+                                       "supervised_geo", "keras_chamfer",
+                                       "supervised_gauge", "explicit_gauge",
+                                       "implicit_gauge"])
 def test_new_loss_selections_train(tiny_setup, loss_name):
     """The rotation-recipe losses — and the 2019 rotation regime's
     keras_chamfer (py/train_rotation.py:36-40 under
