@@ -153,7 +153,7 @@ def eval_random(cfg: EvalConfig):
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
 
-    all_triples, all_mae, all_true = [], [], []
+    all_triples, all_mae, all_true, all_pred = [], [], [], []
     f = open(os.path.join(cfg.out_dir, cfg.results_file), "a")
     n_batches = (cfg.n + cfg.batch_size - 1) // cfg.batch_size
     pairs_saved = 0
@@ -170,6 +170,7 @@ def eval_random(cfg: EvalConfig):
         all_triples.append(triple)
         all_mae.append(mae)
         all_true.append(p_true)
+        all_pred.append(p_pred)
         for i in range(triple.shape[0]):
             idx = b * cfg.batch_size + i
             if idx >= cfg.n:
@@ -217,6 +218,7 @@ def eval_random(cfg: EvalConfig):
     triples = np.concatenate(all_triples)[: cfg.n]
     maes = np.concatenate(all_mae)[: cfg.n]
     trues = np.concatenate(all_true)[: cfg.n]
+    preds = np.concatenate(all_pred)[: cfg.n]
     rot_iou, full_iou = triples[:, 0], triples[:, 1]
     ang, ang_sym = triples[:, 2], triples[:, 3]
     ang_gauge, rot_iou_gauge = triples[:, 4], triples[:, 5]
@@ -285,7 +287,8 @@ def eval_random(cfg: EvalConfig):
              angle_sym=ang_sym, angle_gauge=ang_gauge,
              rot_iou_gauge=rot_iou_gauge, gauge_swapped=gauge_swapped,
              mae=maes,
-             true_params=trues, asym=asym, elongation=elong,
+             true_params=trues, pred_params=preds,
+             asym=asym, elongation=elong,
              # self-describing latency fields (round-2 VERDICT weak #8):
              # the BATCHED number is the reference-comparable figure
              # (py/test_isometry.py:47-52 semantics); batch-1 through the
