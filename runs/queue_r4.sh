@@ -15,7 +15,7 @@ set -u
 cd /root/repo
 
 # ---------------------------------------------------------------- 1
-python -m sqtpu.train --model keras_rot --loss keras_chamfer \
+timeout 2400 python -m sqtpu.train --model keras_rot --loss keras_chamfer \
   --data synthetic --synthetic-size 30000 --image-size 256 \
   --batch-size 128 --learning-rate 1e-3 --lr-schedule step2019 \
   --max-epochs 40 --steps-per-epoch 100 --val-steps 5 \
@@ -28,7 +28,7 @@ python -m sqtpu.evaluate --ckpt-dir runs/kerasrot_model --model keras_rot \
   > runs/eval_kerasrot/eval.log 2>&1
 
 # ---------------------------------------------------------------- 2
-python -m sqtpu.train --model resnet_sq --loss explicit --render-size 32 \
+timeout 5400 python -m sqtpu.train --model resnet_sq --loss explicit --render-size 32 \
   --data synthetic --synthetic-size 100000 --image-size 256 \
   --batch-size 256 --learning-rate 1e-4 --plateau-patience 25 \
   --max-epochs 150 --steps-per-epoch 100 --val-steps 5 \
@@ -43,7 +43,7 @@ python -m sqtpu.evaluate --ckpt-dir runs/explicit_model --n 1000 \
 # ---------------------------------------------------------------- 3
 # Stage A: supervised_geo warm-up (quat-sym + second-moment orientation
 # + param MSE, elongation-weighted), 150k images
-python -m sqtpu.train --loss supervised_geo --geo-weight 1.0 \
+timeout 3600 python -m sqtpu.train --loss supervised_geo --geo-weight 1.0 \
   --elong-weight 1.0 --data synthetic --synthetic-size 150000 \
   --image-size 256 --batch-size 256 --remat true \
   --learning-rate 3e-4 --max-epochs 120 --steps-per-epoch 100 \
@@ -56,7 +56,7 @@ python -m sqtpu.evaluate --ckpt-dir runs/r4_model --n 500 \
   > runs/eval_r4_warmup/eval.log 2>&1
 
 # Stage B: implicit_sym fine-tune @64^3
-python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
+timeout 7200 python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
   --data synthetic --synthetic-size 150000 --image-size 256 \
   --batch-size 256 --remat true \
   --learning-rate 1e-4 --plateau-patience 20 --max-epochs 260 \
@@ -67,7 +67,7 @@ python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
   > runs/r4_stageB.log 2>&1
 
 # Stage C: implicit_sym @96^3, LR restart
-python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
+timeout 7200 python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
   --data synthetic --synthetic-size 150000 --image-size 256 \
   --batch-size 256 --remat true --render-size 96 \
   --learning-rate 1e-4 --plateau-patience 20 --max-epochs 420 \
@@ -82,7 +82,7 @@ python -m sqtpu.evaluate --ckpt-dir runs/r4_model --n 500 \
   > runs/eval_r4_stageC/eval.log 2>&1
 
 # Stage D: implicit_sym @128^3 (first time at eval resolution)
-python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
+timeout 7200 python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
   --data synthetic --synthetic-size 150000 --image-size 256 \
   --batch-size 256 --remat true --render-size 128 \
   --learning-rate 5e-5 --plateau-patience 20 --max-epochs 540 \
@@ -93,7 +93,7 @@ python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
   > runs/r4_stageD.log 2>&1
 
 # Stage E: low-LR polish @128^3
-python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
+timeout 7200 python -m sqtpu.train --loss implicit_sym --elong-weight 1.0 \
   --data synthetic --synthetic-size 150000 --image-size 256 \
   --batch-size 256 --remat true --render-size 128 \
   --learning-rate 1e-5 --plateau-patience 20 --max-epochs 600 \
