@@ -25,9 +25,18 @@ from sqtpu.ops.render import render_depth_hard, render_depth_soft
 
 
 def sample_params(
-    key: jax.Array, batch: int, iso: bool = False, dtype=jnp.float32
+    key: jax.Array, batch: int, iso: bool = False, dtype=jnp.float32,
+    canonical: bool = True,
 ) -> jax.Array:
-    """(B, 12) random SQ parameters in normalized units."""
+    """(B, 12) random SQ parameters in normalized units.
+
+    ``canonical`` (rotation data only) re-expresses each label in the
+    canonical xy-swap gauge a1 ≥ a2 via an exact equivalence transform
+    (:func:`sqtpu.ops.losses.canonicalize_gauge`) — same shapes, same
+    images, but image → decomposition becomes a FUNCTION, which direct
+    rotation supervision needs. Pass ``canonical=False`` for the
+    reference's raw independent-size label convention
+    (``gen_rand_rot.py:17-31`` samples a1..a3 independently)."""
     ka, ke, kt, kq = jax.random.split(key, 4)
     a = jax.random.uniform(ka, (batch, 3), dtype, 25 / 255, 75 / 255)
     e = jax.random.uniform(ke, (batch, 2), dtype, 0.1, 1.0)
@@ -37,9 +46,15 @@ def sample_params(
             jnp.asarray([1.0, 1.0, 1.0, 0.0], dtype) / jnp.sqrt(3.0),
             (batch, 4),
         ).astype(dtype)
-    else:
-        q = quat.random_uniform(kq, (batch,), dtype)
-    return jnp.concatenate([a, e, t, q], axis=-1)
+        # iso: fixed-view 2019 data — keep the reference's independent
+        # sizes (there is no rotation ambiguity to resolve)
+        return jnp.concatenate([a, e, t, q], axis=-1)
+    q = quat.random_uniform(kq, (batch,), dtype)
+    p = jnp.concatenate([a, e, t, q], axis=-1)
+    if canonical:
+        from sqtpu.ops.losses import canonicalize_gauge
+        p = canonicalize_gauge(p)
+    return p
 
 
 @partial(jax.jit, static_argnames=("batch", "image_size", "renderer", "iso"))

@@ -237,6 +237,32 @@ def param_gauge_orbit(p: jax.Array) -> jax.Array:
                      + [variant(g, a_sw) for g in SQ_GAUGE_QUATS_SWAP])
 
 
+def canonicalize_gauge(p: jax.Array) -> jax.Array:
+    """Re-express params in the canonical xy-swap gauge: a1 ≥ a2.
+
+    Where a1 < a2, swap the first two sizes and right-multiply the
+    quaternion by Rz(+90°) — an exact equivalence (same rendered image,
+    same voxelization; see :data:`SQ_GAUGE_QUATS_SWAP`).
+
+    Why: a dataset whose labels are sampled with independent a1, a2 maps
+    one image to TWO different regression targets (the two swap-gauge
+    representatives, quaternions 90° apart about z) with equal
+    probability. Supervised rotation regression then averages the
+    mixture — the size components blur toward a1 ≈ a2 and the rotation
+    gradient degenerates, which is the round-2 sym-angle plateau at
+    ~0.8 rad ≈ the mixture average of {≈0, ≈π/2}. Canonicalizing the
+    labels (training AND eval truth) makes image → decomposition a
+    function again without changing the shape distribution at all."""
+    from sqtpu.ops import geometry
+    a, e, t, q = geometry.split_params(p)
+    swap = (a[..., 0] < a[..., 1])[..., None]
+    a_sw = jnp.stack([a[..., 1], a[..., 0], a[..., 2]], axis=-1)
+    q_sw = quat.multiply(q, jnp.broadcast_to(
+        jnp.asarray(SQ_GAUGE_QUATS_SWAP[0], q.dtype), q.shape))
+    return jnp.concatenate([jnp.where(swap, a_sw, a), e, t,
+                            jnp.where(swap, q_sw, q)], axis=-1)
+
+
 def param_gauge_loss(pred: jax.Array, labels: jax.Array,
                      reduce: bool = True):
     """Fully gauge-aware supervised loss: min over the 8-element D4 orbit

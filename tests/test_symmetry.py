@@ -180,3 +180,33 @@ def test_iou_full_gauge_columns(params):
     np.testing.assert_allclose(out[:, 1], 1.0, atol=1e-6)  # full IoU
     np.testing.assert_allclose(out[:, 6], 1.0, atol=1e-6)  # swap flag
     np.testing.assert_allclose(out[:, 4], 0.0, atol=1e-5)  # gauge angle
+
+
+def test_canonicalize_gauge(params):
+    """Canonical gauge: a1 >= a2, identical geometry, idempotent."""
+    pc = losses.canonicalize_gauge(params)
+    pc = np.asarray(pc)
+    assert np.all(pc[:, 0] >= pc[:, 1])
+    per = metrics.iou(params, jnp.asarray(pc), render_size=32, reduce=False)
+    np.testing.assert_allclose(np.asarray(per), 1.0, atol=1e-6)
+    img_a = render_depth_hard(params[0], 64, quantize=True)
+    img_b = render_depth_hard(jnp.asarray(pc)[0], 64, quantize=True)
+    assert np.mean(np.asarray(img_a) == np.asarray(img_b)) > 0.999
+    pcc = np.asarray(losses.canonicalize_gauge(jnp.asarray(pc)))
+    np.testing.assert_allclose(pcc, pc, atol=1e-6)   # idempotent
+    # quaternions stay unit
+    np.testing.assert_allclose(np.linalg.norm(pc[:, 8:12], axis=-1), 1.0,
+                               atol=1e-5)
+
+
+def test_sample_params_canonical_default():
+    from sqtpu.data.synthetic import sample_params
+    p = np.asarray(sample_params(jax.random.PRNGKey(0), 64))
+    assert np.all(p[:, 0] >= p[:, 1])
+    p_raw = np.asarray(sample_params(jax.random.PRNGKey(0), 64,
+                                     canonical=False))
+    assert not np.all(p_raw[:, 0] >= p_raw[:, 1])
+    # same shapes: the canonical batch is the gauge-fixed version
+    np.testing.assert_allclose(
+        np.asarray(losses.canonicalize_gauge(jnp.asarray(p_raw))), p,
+        atol=1e-6)
