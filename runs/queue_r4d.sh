@@ -2,15 +2,15 @@
 # Round-3 canonical-gauge queue (supersedes r4c items 2-6): train with
 # gauge-CANONICAL labels (a1 >= a2; sample_params default since
 # canonicalize_gauge landed) so image -> decomposition is well-posed.
-#  1. explicit_gauge on canonical labels — headline candidate: explicit
+#  1. explicit_sym on canonical labels (explicit geometry + D2 anchor) — headline candidate: explicit
 #     geometry (0.92 full IoU) + now-unambiguous decomposition anchor.
-#  2. implicit_gauge self-supervised fine-tune @96^3 then @128^3.
+#  2. implicit_sym self-supervised fine-tune @96^3 then @128^3.
 #  3. 2019 keras rotation regime re-run (straight-through clamp fix).
 set -u
 cd /root/repo
 
 # ---------------------------------------------------------------- 1
-timeout 5400 python -m sqtpu.train --model resnet_sq --loss explicit_gauge \
+timeout 5400 python -m sqtpu.train --model resnet_sq --loss explicit_sym \
   --render-size 32 --gauge-weight 1.0 --elong-weight 1.0 \
   --data synthetic --synthetic-size 150000 --image-size 256 \
   --batch-size 256 --remat true --learning-rate 1e-4 \
@@ -39,7 +39,7 @@ print("exported canonical explicit_gauge weights from epoch", ep)
 EOF
 
 # ---------------------------------------------------------------- 2
-timeout 5400 python -m sqtpu.train --loss implicit_gauge --aux-weight 0.1 \
+timeout 5400 python -m sqtpu.train --loss implicit_sym --aux-weight 0.1 \
   --elong-weight 1.0 --data synthetic --synthetic-size 150000 \
   --image-size 256 --batch-size 256 --remat true --render-size 96 \
   --learning-rate 5e-5 --plateau-patience 20 --max-epochs 340 \
@@ -53,7 +53,7 @@ python -m sqtpu.evaluate --ckpt-dir runs/canon_model --n 500 \
   --batch-size 125 --out-dir runs/eval_canon96 \
   > runs/eval_canon96/eval.log 2>&1
 
-timeout 7200 python -m sqtpu.train --loss implicit_gauge --aux-weight 0.1 \
+timeout 7200 python -m sqtpu.train --loss implicit_sym --aux-weight 0.1 \
   --elong-weight 1.0 --data synthetic --synthetic-size 150000 \
   --image-size 256 --batch-size 256 --remat true --render-size 128 \
   --learning-rate 2e-5 --plateau-patience 20 --max-epochs 460 \

@@ -176,6 +176,23 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         per = losses.param_gauge_loss(pred[..., :12], labels, reduce=False)
         w = _elong_weights(cfg, labels)
         return jnp.mean(per if w is None else per * w)
+    if cfg.loss == "explicit_sym":
+        # explicit occupancy-MSE geometry + a D2-only supervised anchor.
+        # For CANONICAL labels (sample_params default) this is the right
+        # pairing: the D2 orbit-min handles the truly-unobservable flips
+        # while the canonical label pins the xy-swap gauge — unlike the
+        # free min-over-8 of explicit_gauge, under which the net converged
+        # to a consistent ANTI-canonical convention (100% a1 < a2,
+        # measured round 3) since any consistent gauge is a fixed point.
+        expl = losses.explicit_loss(labels, pred, cfg.render_size)
+        per = (losses.param_mse(pred[..., :8], labels[..., :8],
+                                reduce=False)
+               + losses.quaternion_loss_sym(pred[..., 8:12],
+                                            labels[..., 8:12],
+                                            reduce=False))
+        w = _elong_weights(cfg, labels)
+        return expl + cfg.gauge_weight * jnp.mean(
+            per if w is None else per * w)
     if cfg.loss == "explicit_gauge":
         # gauge-invariant geometry supervision (explicit occupancy MSE —
         # measured round 3: full IoU 0.92 on its own) + the gauge-aware

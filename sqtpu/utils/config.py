@@ -24,6 +24,8 @@ class TrainConfig:
     #   | keras_chamfer (the 2019 rotation regime, py/train_rotation.py)
     #   | supervised_gauge | explicit_gauge | implicit_gauge (full-D4-
     #     gauge-aware variants; see losses.param_gauge_loss)
+    #   | explicit_sym (explicit geometry + D2 anchor — pair with
+    #     canonical labels)
     aux_weight: float = 0.05          # supervised anchor in implicit_sym/_gauge
     gauge_weight: float = 1.0         # decomposition anchor in explicit_gauge
     geo_weight: float = 1.0           # second-moment term in supervised_geo
