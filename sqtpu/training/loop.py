@@ -427,6 +427,17 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
         MetricLogger.line(f"loaded pretrained encoder from {cfg.pretrained}")
+    if cfg.init_weights:
+        # full-model warm start from a portable npz (fresh optimizer) —
+        # branches a new stage off an exported model even after the Orbax
+        # ckpt was overwritten by a later stage
+        from sqtpu.utils.checkpoint import load_weights_npz
+        variables = load_weights_npz(
+            cfg.init_weights,
+            {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables.get("batch_stats"))
+        MetricLogger.line(f"warm-started all weights from {cfg.init_weights}")
     n_params = sum(np.prod(p.shape) for p in
                    jax.tree_util.tree_leaves(state.params))
     MetricLogger.line(f"model={cfg.model} params={n_params:,} "

@@ -75,6 +75,11 @@ class TrainConfig:
     # pretrained encoder: torchvision-resnet18-layout state_dict
     # (.pt via torch, or .npz from export_torchvision_resnet18)
     pretrained: str = ""
+    # warm-start the FULL model (all heads + batch_stats) from a portable
+    # save_weights_npz artifact; optimizer state starts fresh. Use to
+    # branch a new training stage off an exported model when the Orbax
+    # ckpt has been overwritten by a later stage.
+    init_weights: str = ""
 
     # checkpoint / logging (train.py:38, 45)
     ckpt_dir: str = "checkpoints/run0"

@@ -114,3 +114,34 @@ def test_resume_with_loss_switch_and_reset_lr(tmp_path):
     assert (len(history["loss"]) == len(history["val_loss"])
             == len(history["val_acc"]) == len(history["val_angle_sym"])
             == 3)
+
+
+def test_train_init_weights_warm_start(tmp_path):
+    """--init-weights branches a new stage off a portable weights npz:
+    the warm-started run begins from the exported model (not a fresh
+    init), with a fresh optimizer."""
+    import jax
+
+    from sqtpu.models import build_model
+    from sqtpu.training.state import create_train_state
+    from sqtpu.utils.checkpoint import save_weights_npz
+
+    cfg = TrainConfig(
+        max_epochs=1, steps_per_epoch=1, val_steps=1, batch_size=2,
+        image_size=32, render_size=16, acc_render_size=16,
+        use_pallas=False, donate=False, ckpt_dir="", log_interval=100,
+    )
+    model = build_model(cfg.model)
+    donor = create_train_state(model, jax.random.PRNGKey(7), cfg)
+    path = str(tmp_path / "donor.npz")
+    save_weights_npz(path, {"params": donor.params,
+                            "batch_stats": donor.batch_stats})
+
+    cfg2 = TrainConfig(**{**cfg.__dict__, "init_weights": path,
+                          "max_epochs": 0})
+    state, _ = train(cfg2, synthetic_size=4)
+    got = jax.tree_util.tree_leaves(state.params)
+    want = jax.tree_util.tree_leaves(donor.params)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-4)
