@@ -141,17 +141,19 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # consistent with every other sqtpu loss/eval path.
         # Deviations for trainability: the TF loss never clamps, so a raw
         # Dense(12) head's e ≤ 0 makes |x|^(2/e) non-finite at step 0.
-        # A hard clamp alone kills all gradient outside the valid box
-        # (measured: 40 epochs leave |params| at ~10-130, runs/
-        # eval_kerasrot round 3), so the field sees clamped+normalized
-        # params with STRAIGHT-THROUGH gradients, plus a quadratic
-        # penalty pulling the raw outputs into the box.
+        # The field therefore sees clamped params (jnp.clip subgradient:
+        # identity inside the valid box, zero outside) plus a quadratic
+        # penalty pulling out-of-box raw outputs back in. Two failed
+        # variants are on record: a bare clamp strands params outside the
+        # box (zero gradient there; |params| stuck at ~10-130 after 40
+        # epochs, runs/eval_kerasrot), and a straight-through clamp lets
+        # the huge field gradients (|x|^(2/e) at e = 0.1) blow raw
+        # outputs to ±200 (runs/eval_kerasrot2).
         from sqtpu.ops import geometry, quaternion
         pred12 = pred[..., :12]
         clamped = geometry.clamp_params(pred12)
         clamped = clamped.at[..., 8:12].set(
             quaternion.normalize(pred12[..., 8:12]))
-        st = pred12 + jax.lax.stop_gradient(clamped - pred12)
         range_penalty = jnp.mean(
             (pred12 - jax.lax.stop_gradient(clamped)) ** 2)
         # clip=100: the unclipped fp32 field square overflows to inf at
@@ -159,7 +161,7 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # around the surface band F = 1
         return losses.keras_occupancy_mse(
             losses.torch_to_keras_norm(labels[..., :12]),
-            losses.torch_to_keras_norm(st), clip=100.0) + range_penalty
+            losses.torch_to_keras_norm(clamped), clip=100.0) + range_penalty
     if cfg.loss == "implicit_sym":
         # self-supervised depth MAE anchored by a small symmetry-aware
         # supervised term (rotation warm-up -> implicit fine-tune recipe)
