@@ -67,10 +67,19 @@ def predict(model, state, imgs: jax.Array) -> jax.Array:
 
 
 def eval_single(cfg: EvalConfig, image_path: str):
-    """``torch/test.py`` equivalent: one BMP -> de-normalized params."""
-    model, state = load_eval_state(cfg)
+    """``torch/test.py`` equivalent: one BMP -> de-normalized params.
+
+    ``--model classical`` runs the no-CNN recovery (moments init + L-M,
+    ``fit.recover``) instead of a checkpointed network."""
     img = read_bmp(image_path).astype(np.float32) / 255.0
-    pred = np.asarray(predict(model, state, jnp.asarray(img)[None, ..., None]))[0]
+    if cfg.model == "classical":
+        from sqtpu.fit import recover
+        pred = np.asarray(recover(jnp.asarray(img), n_points=cfg.refine_size,
+                                  iters=cfg.refine_steps)[0])
+    else:
+        model, state = load_eval_state(cfg)
+        pred = np.asarray(
+            predict(model, state, jnp.asarray(img)[None, ..., None]))[0]
     d = denormalize_torch(pred)
     print("Predicted parameters:")
     print("Size a:", d[0:3])
@@ -96,7 +105,15 @@ def eval_random(cfg: EvalConfig):
     """
     from sqtpu.models import OUTPUT_DIMS
 
-    model, state = load_eval_state(cfg)
+    # --model classical: no CNN at all — moments init + L-M on the image
+    # point cloud per sample (the scanner binary's `recover` path, the
+    # classical baseline the papers compare the CNNs against).
+    # cfg.refine_steps doubles as the L-M iteration count.
+    classical = cfg.model == "classical"
+    if classical:
+        model, state = None, None
+    else:
+        model, state = load_eval_state(cfg)
     os.makedirs(cfg.out_dir, exist_ok=True)
     width = OUTPUT_DIMS.get(cfg.model, 12)
     if width == 8 and not cfg.iso:
@@ -123,7 +140,17 @@ def eval_random(cfg: EvalConfig):
         from sqtpu.ops.kernels import render_hard_auto
         imgs = render_hard_auto(p_true, cfg.image_size, n_sweep=64,
                                 n_bisect=16, quantize=True)[..., None]
-        p_pred = params_vector(model.apply(variables, imgs, train=False))
+        if classical:
+            from sqtpu.fit import image_points, lm_fit, moments_init
+
+            def one(im):
+                pts, mask = image_points(im, cfg.refine_size)
+                return lm_fit(pts, mask, moments_init(pts, mask),
+                              iters=cfg.refine_steps)[0]
+            p_pred = jax.vmap(one)(imgs[..., 0])
+        else:
+            p_pred = params_vector(
+                model.apply(variables, imgs, train=False))
         if width == 8:
             # 2019 isometry family (py/test_isometry.py protocol): the
             # view quaternion is FIXED AND KNOWN; pad it in so the IoU
@@ -149,9 +176,11 @@ def eval_random(cfg: EvalConfig):
         mae = jnp.abs(p_pred - p_true)
         return p_true, p_pred, triple, mae, imgs
 
-    variables = {"params": state.params}
-    if state.batch_stats is not None:
-        variables["batch_stats"] = state.batch_stats
+    variables = {}
+    if state is not None:
+        variables["params"] = state.params
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
 
     all_triples, all_mae, all_true, all_pred = [], [], [], []
     f = open(os.path.join(cfg.out_dir, cfg.results_file), "a")
@@ -202,6 +231,15 @@ def eval_random(cfg: EvalConfig):
     # batch's already-rendered images
     @jax.jit
     def predict_only(variables, imgs):
+        if classical:
+            # "predict" for the classical baseline IS the solve
+            from sqtpu.fit import image_points, lm_fit, moments_init
+
+            def one(im):
+                pts, mask = image_points(im, cfg.refine_size)
+                return lm_fit(pts, mask, moments_init(pts, mask),
+                              iters=cfg.refine_steps)[0]
+            return jax.vmap(one)(imgs[..., 0])
         return params_vector(model.apply(variables, imgs, train=False))
 
     predict_latency = {}

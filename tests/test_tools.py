@@ -150,6 +150,19 @@ class TestEvaluate:
         res = eval_random(cfg)
         assert 0.0 <= res["full_iou_mean"] <= 1.0
 
+    def test_eval_random_classical(self, tmp_path):
+        # --model classical: no-CNN baseline (moments init + L-M); must
+        # beat a random-init network by a wide margin on the same protocol
+        from sqtpu.evaluate import eval_random
+
+        cfg = EvalConfig(ckpt_dir=str(tmp_path / "none"), model="classical",
+                         n=4, batch_size=2, acc_render_size=24,
+                         image_size=64, out_dir=str(tmp_path / "out"),
+                         refine_steps=20, refine_size=32)
+        res = eval_random(cfg)
+        assert res["full_iou_mean"] > 0.3
+        assert os.path.exists(tmp_path / "out" / "accs.npz")
+
 
 class TestViz:
     def test_slerp_sweep(self, tmp_path):
