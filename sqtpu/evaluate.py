@@ -140,6 +140,16 @@ def eval_random(cfg: EvalConfig):
         from sqtpu.ops.kernels import render_hard_auto
         imgs = render_hard_auto(p_true, cfg.image_size, n_sweep=64,
                                 n_bisect=16, quantize=True)[..., None]
+        if cfg.noise_gaussian or cfg.noise_dropout or cfg.noise_salt:
+            # sensor-noise robustness protocol (beyond-reference): corrupt
+            # the model's INPUT only — truth params still score the IoU.
+            # fold_in leaves the sample_params stream untouched, so the
+            # noisy eval sees the same 1000 shapes as the clean one.
+            from sqtpu.data.augment import depth_noise
+            imgs = depth_noise(
+                jax.random.fold_in(key, 1), imgs[..., 0],
+                gaussian=cfg.noise_gaussian, dropout=cfg.noise_dropout,
+                salt=cfg.noise_salt, quantize=True)[..., None]
         if classical:
             from sqtpu.fit import image_points, lm_fit, moments_init
 

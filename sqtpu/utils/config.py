@@ -114,6 +114,12 @@ class EvalConfig:
     out_dir: str = "eval_out"
     platform: str = ""                # override jax platform (e.g. "cpu")
 
+    # sensor-noise robustness protocol (sqtpu.data.augment.depth_noise):
+    # corrupt the model's input depth maps; truth params still score
+    noise_gaussian: float = 0.0       # object-pixel depth noise std
+    noise_dropout: float = 0.0        # object-pixel missing-return prob
+    noise_salt: float = 0.0           # background flying-pixel prob
+
     # test-time refinement: polish predictions against the input image
     # (CNN init + classical iterative fit — fit.refine_params)
     refine: str = "none"              # none | lm | gd | lm+gd
