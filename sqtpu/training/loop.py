@@ -471,27 +471,52 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         return make_batch(k, cfg.batch_size, cfg.image_size, cfg.renderer,
                           iso=cfg.iso)
 
+    # training-time sensor-noise augmentation: corrupt the model INPUT
+    # in-graph, labels untouched (the robustness protocol of
+    # evaluate --noise-* is the matching measurement)
+    augment = (getattr(cfg, "augment_gaussian", 0.0)
+               or getattr(cfg, "augment_dropout", 0.0)
+               or getattr(cfg, "augment_salt", 0.0))
+    if augment:
+        from sqtpu.data.augment import depth_noise
+
+        @jax.jit
+        def _augment(k, batch):
+            imgs, lbls = batch
+            noisy = depth_noise(
+                k, imgs[..., 0], gaussian=cfg.augment_gaussian,
+                dropout=cfg.augment_dropout, salt=cfg.augment_salt,
+                quantize=True)[..., None]
+            return noisy, lbls
+    else:
+        def _augment(k, batch):
+            return batch
+
     def train_batches(epoch_key, epoch=0):
         if host_dataset is not None:
-            yield from host_dataset.batches(
-                host_dataset.train_indices, cfg.batch_size,
-                shuffle=cfg.shuffle, seed=cfg.seed + epoch)
+            for s, batch in enumerate(host_dataset.batches(
+                    host_dataset.train_indices, cfg.batch_size,
+                    shuffle=cfg.shuffle, seed=cfg.seed + epoch)):
+                yield _augment(jax.random.fold_in(epoch_key, 777 + s), batch)
             return
         for s in range(cfg.steps_per_epoch):
             k = jax.random.fold_in(epoch_key, s)
-            yield (dataset.train_batch(k) if dataset is not None
-                   else online_batch(k))
+            yield _augment(jax.random.fold_in(k, 777),
+                           dataset.train_batch(k) if dataset is not None
+                           else online_batch(k))
 
     def val_batches(epoch_key):
         if host_dataset is not None:
-            yield from host_dataset.batches(
-                host_dataset.val_indices, cfg.batch_size,
-                drop_remainder=False)
+            for s, batch in enumerate(host_dataset.batches(
+                    host_dataset.val_indices, cfg.batch_size,
+                    drop_remainder=False)):
+                yield _augment(jax.random.fold_in(epoch_key, 20_000 + s), batch)
             return
         for s in range(cfg.val_steps):
             k = jax.random.fold_in(epoch_key, 10_000 + s)
-            yield (dataset.val_batch(k) if dataset is not None
-                   else online_batch(k))
+            yield _augment(jax.random.fold_in(k, 778),
+                           dataset.val_batch(k) if dataset is not None
+                           else online_batch(k))
 
     # ----- resume
     history = {"loss": [], "val_loss": [], "val_acc": []}

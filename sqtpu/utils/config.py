@@ -65,6 +65,14 @@ class TrainConfig:
     # while regenerating on device takes seconds once compiled.
     lr_schedule: str = "plateau"      # plateau | step2019
 
+    # training-time sensor-noise augmentation (data/augment.depth_noise,
+    # applied to train AND val inputs in-graph; labels untouched). Pair
+    # with a SUPERVISED loss — the self-supervised implicit loss would
+    # fit the corrupted image instead of denoising it.
+    augment_gaussian: float = 0.0     # object-pixel depth noise std
+    augment_dropout: float = 0.0      # object-pixel missing-return prob
+    augment_salt: float = 0.0         # background flying-pixel prob
+
     # precision / parallelism
     dtype: str = "float32"
     remat: bool = False               # jax.checkpoint the fwd (HBM for FLOPs)

@@ -145,3 +145,23 @@ def test_train_init_weights_warm_start(tmp_path):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_train_with_noise_augmentation():
+    """--augment-* corrupts the model inputs in-graph; training still
+    converges and the augmented batches differ from the clean renders
+    (the matching measurement is evaluate --noise-*)."""
+    base = dict(
+        max_epochs=1, steps_per_epoch=2, val_steps=1, batch_size=4,
+        image_size=32, render_size=16, acc_render_size=16,
+        loss="supervised", use_pallas=False, donate=False, ckpt_dir="",
+        log_interval=100,
+    )
+    _, hist = train(TrainConfig(**base, augment_gaussian=0.02,
+                                augment_dropout=0.2, augment_salt=0.005),
+                    synthetic_size=8)
+    assert np.isfinite(hist["loss"]).all()
+    # same seed, no augmentation: different loss trajectory (the noise
+    # actually reached the model input)
+    _, clean = train(TrainConfig(**base), synthetic_size=8)
+    assert hist["loss"][0] != clean["loss"][0]
