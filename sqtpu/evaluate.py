@@ -75,7 +75,10 @@ def eval_single(cfg: EvalConfig, image_path: str):
     if cfg.model == "classical":
         from sqtpu.fit import recover
         pred = np.asarray(recover(jnp.asarray(img), n_points=cfg.refine_size,
-                                  iters=cfg.refine_steps)[0])
+                                  iters=cfg.refine_steps,
+                                  robust_c=cfg.refine_robust_c,
+                                  prefilter=cfg.refine_filter,
+                                  residual=cfg.refine_residual)[0])
     else:
         model, state = load_eval_state(cfg)
         pred = np.asarray(
@@ -151,12 +154,14 @@ def eval_random(cfg: EvalConfig):
                 gaussian=cfg.noise_gaussian, dropout=cfg.noise_dropout,
                 salt=cfg.noise_salt, quantize=True)[..., None]
         if classical:
-            from sqtpu.fit import image_points, lm_fit, moments_init
+            from sqtpu.fit import recover
 
             def one(im):
-                pts, mask = image_points(im, cfg.refine_size)
-                return lm_fit(pts, mask, moments_init(pts, mask),
-                              iters=cfg.refine_steps)[0]
+                return recover(im, n_points=cfg.refine_size,
+                               iters=cfg.refine_steps,
+                               robust_c=cfg.refine_robust_c,
+                               prefilter=cfg.refine_filter,
+                               residual=cfg.refine_residual)[0]
             p_pred = jax.vmap(one)(imgs[..., 0])
         else:
             p_pred = params_vector(
@@ -181,7 +186,10 @@ def eval_random(cfg: EvalConfig):
             p_pred = refine_params(imgs[..., 0], p_pred,
                                    method=cfg.refine,
                                    steps=cfg.refine_steps,
-                                   n=cfg.refine_size, lr=cfg.refine_lr)
+                                   n=cfg.refine_size, lr=cfg.refine_lr,
+                                   robust_c=cfg.refine_robust_c,
+                                   prefilter=cfg.refine_filter,
+                                   residual=cfg.refine_residual)
         triple = metrics.iou_full(p_true, p_pred, cfg.acc_render_size)
         mae = jnp.abs(p_pred - p_true)
         return p_true, p_pred, triple, mae, imgs
@@ -243,12 +251,14 @@ def eval_random(cfg: EvalConfig):
     def predict_only(variables, imgs):
         if classical:
             # "predict" for the classical baseline IS the solve
-            from sqtpu.fit import image_points, lm_fit, moments_init
+            from sqtpu.fit import recover
 
             def one(im):
-                pts, mask = image_points(im, cfg.refine_size)
-                return lm_fit(pts, mask, moments_init(pts, mask),
-                              iters=cfg.refine_steps)[0]
+                return recover(im, n_points=cfg.refine_size,
+                               iters=cfg.refine_steps,
+                               robust_c=cfg.refine_robust_c,
+                               prefilter=cfg.refine_filter,
+                               residual=cfg.refine_residual)[0]
             return jax.vmap(one)(imgs[..., 0])
         return params_vector(model.apply(variables, imgs, train=False))
 

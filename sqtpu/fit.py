@@ -144,60 +144,115 @@ def moments_init(pts: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.concatenate([a0, e0, jnp.clip(mean, 0.0, 1.0), q0])
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "robust_c", "residual"))
 def lm_fit(pts: jax.Array, mask: jax.Array, p0: jax.Array,
-           iters: int = 50, lam0: float = 1e-2):
+           iters: int = 50, lam0: float = 1e-2, robust_c: float = 0.0,
+           residual: str = "sb"):
     """Damped least squares (Levenberg–Marquardt) on the Solina–Bajcsy
     residuals r_i = √(a1a2a3)·(F^e1 − 1) over masked image points.
 
     ``mrqmin``-style adaptive damping: accepted steps shrink lambda 0.3x,
     rejected steps grow it 3x (step discarded). Fixed iteration count so
     the whole solve is one compiled ``lax.scan``.
+
+    ``robust_c > 0`` enables IRLS outlier rejection (Tukey biweight,
+    recomputed each iteration from the current residuals with MAD scale;
+    4.685 is the classical 95%-efficiency constant): points whose
+    residual exceeds ``robust_c`` robust standard deviations get weight 0
+    — flying pixels / multipath ghosts (the ``salt`` corruption of
+    :mod:`sqtpu.data.augment`) no longer drag the fit, which a plain
+    least-squares has no defense against.
+
+    ``residual="radial"`` swaps the SB energy for the signed radial
+    euclidean distance |r0|·(1 − F^(−e1/2)) — the ``sq::sdistance``
+    metric of the scanner binary (SURVEY.md §2.2-N1). The SB energy has
+    a documented pathology on noisy visible-surface points: residuals
+    scale ∝ e1, so an inflated boxy SQ (e1 at the clamp floor, one huge
+    semi-axis) passing its top face through the point cloud can have
+    LOWER energy than the truth, and ranging noise as small as σ=0.005
+    tips the fit into that basin. The radial residual is in euclidean
+    units — no e1 compression — and does not collapse.
     """
     def residuals(p):
         pp = geometry.clamp_params(_renorm_quat(p))
+        if residual == "radial":
+            return geometry.signed_distance(pts, pp) * mask
         f = geometry.field_points(pts, pp, guard=True)
         a = pp[geometry.SIZE_SLICE]
         return jnp.sqrt(a[0] * a[1] * a[2]) * (f - 1.0) * mask
 
-    def cost(p):
-        return jnp.sum(residuals(p) ** 2)
+    def weights(r):
+        if not robust_c:
+            return jnp.ones_like(r)
+        absr = jnp.where(mask > 0, jnp.abs(r), jnp.nan)
+        scale = jnp.maximum(1.4826 * jnp.nanmedian(absr), 1e-4)
+        u = r / (robust_c * scale)
+        return jnp.where(jnp.abs(u) < 1.0, (1.0 - u * u) ** 2, 0.0)
 
     def step(carry, _):
-        p, lam, c = carry
+        p, lam = carry
         r = residuals(p)
-        J = jax.jacfwd(residuals)(p)           # (P, 12)
-        A = J.T @ J
-        g = J.T @ r
+        w = weights(r)                          # frozen within the step
+        sw = jnp.sqrt(w)
+        J = jax.jacfwd(residuals)(p)            # (P, 12)
+        Jw = sw[:, None] * J
+        A = Jw.T @ Jw
+        g = Jw.T @ (sw * r)
         damped = A + lam * jnp.diag(jnp.diag(A)) \
             + 1e-12 * jnp.eye(12, dtype=p.dtype)
         delta = jnp.linalg.solve(damped, g)
         p_new = _renorm_quat(p - delta)
-        c_new = cost(p_new)
-        accept = c_new < c
+        c_old = jnp.sum(w * r ** 2)
+        c_new = jnp.sum(w * residuals(p_new) ** 2)  # same w: comparable
+        accept = c_new < c_old
         p = jnp.where(accept, p_new, p)
         lam = jnp.where(accept, lam * 0.3, lam * 3.0)
-        c = jnp.minimum(c, c_new)
-        return (p, lam, c), c
+        return (p, lam), jnp.minimum(c_old, c_new)
 
     lam0 = jnp.asarray(lam0, p0.dtype)
-    (p, _, c), hist = jax.lax.scan(
-        step, (p0, lam0, cost(p0)), None, length=iters)
+    (p, _), hist = jax.lax.scan(step, (p0, lam0), None, length=iters)
     return geometry.clamp_params(_renorm_quat(p)), hist
 
 
-def recover(img: jax.Array, n_points: int = 64, iters: int = 50):
+def apply_prefilter(img: jax.Array, prefilter: str) -> jax.Array:
+    """Depth-map cleanup before fitting: ``"despeckle"`` drops isolated
+    object pixels (:func:`sqtpu.ops.image.despeckle`), ``"median"`` is a
+    3×3 median (:func:`sqtpu.ops.image.median3` — also denoises ranging
+    error and fills dropout holes), ``"none"`` is identity."""
+    if prefilter == "despeckle":
+        from sqtpu.ops.image import despeckle
+        return despeckle(img)
+    if prefilter == "median":
+        from sqtpu.ops.image import median3
+        return median3(img)
+    if prefilter in ("none", "", None):
+        return img
+    raise ValueError(f"unknown prefilter {prefilter!r}")
+
+
+def recover(img: jax.Array, n_points: int = 64, iters: int = 50,
+            robust_c: float = 0.0, prefilter: str = "none",
+            residual: str = "sb"):
     """Full classical recovery: moments init + L-M refine on one depth
-    image — the ``recover`` entry of the scanner binary, on device."""
+    image — the ``recover`` entry of the scanner binary, on device.
+
+    ``prefilter`` cleans the depth map before lifting (protects the
+    moments init from flying pixels); ``robust_c``/``residual`` harden
+    the L-M polish (see :func:`lm_fit`)."""
+    img = apply_prefilter(img, prefilter)
     pts, mask = image_points(img, n_points)
     p0 = moments_init(pts, mask)
-    return lm_fit(pts, mask, p0, iters)
+    return lm_fit(pts, mask, p0, iters, robust_c=robust_c,
+                  residual=residual)
 
 
-@partial(jax.jit, static_argnames=("method", "steps", "n", "tau", "sharp"))
+@partial(jax.jit, static_argnames=("method", "steps", "n", "tau", "sharp",
+                                   "robust_c", "prefilter", "residual"))
 def refine_params(imgs: jax.Array, p0: jax.Array, method: str = "lm",
                   steps: int = 30, n: int = 64, lr: float = 3e-3,
-                  tau: float = 1.5, sharp: float = 260.0) -> jax.Array:
+                  tau: float = 1.5, sharp: float = 260.0,
+                  robust_c: float = 0.0, prefilter: str = "none",
+                  residual: str = "sb") -> jax.Array:
     """Test-time refinement: polish (B, 12) parameter estimates against
     their (B, H, W) depth images — the hybrid of the two reference
     recovery paths (CNN prediction, ``torch/test_random.py:52``, as the
@@ -208,11 +263,23 @@ def refine_params(imgs: jax.Array, p0: jax.Array, method: str = "lm",
     image points (fast; refines size/position/rotation to the visible
     surface). method="gd": Adam on the implicit depth-MAE loss at
     render size ``n`` (slower; optimizes the actual eval objective).
+
+    ``robust_c``/``prefilter``/``residual`` harden refinement against
+    corrupted depth maps (see :func:`lm_fit` / :func:`apply_prefilter`)
+    — used by ``sqtpu.evaluate --refine-robust-c/--refine-filter/
+    --refine-residual`` for the sensor-noise robustness protocol.
+    Measured on the mixed corruption (gaussian 0.02 + dropout 0.2 +
+    salt 0.005, IoU@32 from a perturbed-truth init at 0.63): plain LM
+    collapses to 0.34; robust radial LM reaches 0.59; **the gd method
+    (implicit depth-MAE, already an L1 norm) is the robust choice** —
+    0.90 raw, 0.91 with the median prefilter (clean-image gd: 0.93).
     """
+    imgs = apply_prefilter(imgs, prefilter)
     if method == "lm":
         def one(im, p):
             pts, mask = image_points(im, n)
-            return lm_fit(pts, mask, p, iters=steps)[0]
+            return lm_fit(pts, mask, p, iters=steps, robust_c=robust_c,
+                          residual=residual)[0]
         return jax.vmap(one)(imgs, p0)
     if method == "gd":
         def one(im, p):
@@ -227,7 +294,8 @@ def refine_params(imgs: jax.Array, p0: jax.Array, method: str = "lm",
         # hybrid: LM snaps size/position/rotation to the visible surface
         # fast, then Adam descends the actual eval objective (implicit
         # depth MAE) from that much better basin
-        p1 = refine_params(imgs, p0, "lm", steps, n, lr, tau, sharp)
+        p1 = refine_params(imgs, p0, "lm", steps, n, lr, tau, sharp,
+                           robust_c=robust_c, residual=residual)
         return refine_params(imgs, p1, "gd", max(steps, 50), n, lr, tau,
                              sharp)
     raise ValueError(f"unknown refine method {method!r}")

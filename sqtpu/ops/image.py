@@ -30,6 +30,42 @@ def norm_img(img: jax.Array) -> jax.Array:
     return img / jnp.maximum(jnp.max(img), 1e-12)
 
 
+def despeckle(img: jax.Array, min_neighbors: int = 2) -> jax.Array:
+    """Drop isolated object pixels (flying-pixel / multipath ghosts).
+
+    An object pixel (depth > 0) is kept only if at least ``min_neighbors``
+    of its 8 neighbors are also object pixels; a real SQ silhouette is
+    contiguous, so the filter removes the salt corruption of
+    :func:`sqtpu.data.augment.depth_noise` while leaving the surface
+    intact (interior pixels have 8 object neighbors). Pure and
+    shape-preserving on (..., H, W).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    obj = (img > 0).astype(img.dtype)
+    pad = [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(obj, pad)
+    cnt = -obj  # subtract self, then add the full 3x3 window
+    for di in range(3):
+        for dj in range(3):
+            cnt = cnt + p[..., di:di + h, dj:dj + w]
+    return jnp.where((img > 0) & (cnt < min_neighbors), 0.0, img)
+
+
+def median3(img: jax.Array) -> jax.Array:
+    """3×3 median filter — the classic depth-map cleanup: halves gaussian
+    ranging noise, removes isolated flying pixels (median of a mostly-zero
+    window is 0) and fills isolated dropout holes (median of a mostly-
+    object window is an object depth). Zero padding means silhouette
+    boundary pixels with fewer than 5 object neighbors erode by ≤1 px.
+    Pure and shape-preserving on (..., H, W)."""
+    h, w = img.shape[-2], img.shape[-1]
+    pad = [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(img, pad)
+    stack = jnp.stack([p[..., di:di + h, dj:dj + w]
+                       for di in range(3) for dj in range(3)], axis=-1)
+    return jnp.median(stack, axis=-1)
+
+
 def depth_to_points(img, flip_vertical: bool = True):
     """Export nonzero depth pixels as an (N, 3) ``(x, y, z)`` point list —
     the ``to_pc`` utility (``py/utils.py:66-78``: cv2.flip then

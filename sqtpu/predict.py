@@ -44,6 +44,9 @@ class PredictConfig:
     refine_steps: int = 30
     refine_size: int = 64
     refine_lr: float = 3e-3
+    refine_robust_c: float = 0.0      # IRLS Tukey constant (0 = plain LSQ)
+    refine_filter: str = "none"       # none | despeckle | median
+    refine_residual: str = "sb"       # LM residual: sb | radial
     platform: str = ""                # override jax platform (e.g. "cpu")
 
 
@@ -70,7 +73,10 @@ def predict_files(cfg: PredictConfig, files: list[str]) -> np.ndarray:
 
         refine = jax.jit(lambda imgs, p: refine_params(
             imgs, p, method=cfg.refine, steps=cfg.refine_steps,
-            n=cfg.refine_size, lr=cfg.refine_lr))
+            n=cfg.refine_size, lr=cfg.refine_lr,
+            robust_c=cfg.refine_robust_c,
+            prefilter=cfg.refine_filter,
+            residual=cfg.refine_residual))
 
     out = np.empty((len(files), 12), np.float32)
     bs = cfg.batch_size

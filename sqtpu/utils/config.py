@@ -134,6 +134,13 @@ class EvalConfig:
     refine_steps: int = 30
     refine_size: int = 64             # LM point grid / GD render size
     refine_lr: float = 3e-3           # GD (Adam) step size
+    # hardening of the refinement/classical fit against corrupted inputs
+    # (pairs with --noise-*; see fit.refine_params for measured numbers —
+    # under noise prefer --refine gd, optionally --refine-filter median):
+    refine_robust_c: float = 0.0      # IRLS Tukey constant (4.685 =
+    #   classical 95%-efficiency choice; 0 = plain least squares)
+    refine_filter: str = "none"       # none | despeckle | median
+    refine_residual: str = "sb"       # LM residual: sb | radial
 
 
 @dataclass

@@ -67,3 +67,23 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "scanner: tests that execute the reference scanner binary"
     )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Arm a teardown watchdog: this environment's tunneled-TPU backend
+    registers atexit handlers that can hang the interpreter after the run
+    completes. If normal shutdown takes >60 s, force-exit with the
+    session's real status so the result is never lost to the hang."""
+    import sys
+    import threading
+
+    def _force_exit():
+        sys.stderr.write("\n[conftest] interpreter shutdown hung >60s — "
+                         "forcing exit (tests already finished, "
+                         f"exitstatus={int(exitstatus)})\n")
+        sys.stderr.flush()
+        os._exit(int(exitstatus))
+
+    watchdog = threading.Timer(60.0, _force_exit)
+    watchdog.daemon = True
+    watchdog.start()
