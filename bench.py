@@ -29,8 +29,8 @@ os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-BATCH = 512
-ITERS = 10
+BATCH = int(os.environ.get("SQTPU_BENCH_BATCH", "512"))
+ITERS = int(os.environ.get("SQTPU_BENCH_ITERS", "10"))
 BASELINE_PER_CHIP = 2500.0  # north-star v5e-8 target / 8 chips
 
 
