@@ -66,6 +66,22 @@ def predict(model, state, imgs: jax.Array) -> jax.Array:
     return params_vector(model.apply(variables, imgs, train=False))
 
 
+def classical_recover_fn(cfg: EvalConfig):
+    """One (H, W) depth map -> 12 params via the no-CNN classical path
+    (moments init + L-M), with every hardening knob threaded from cfg —
+    the single place the cfg->recover wiring lives (used by eval_single,
+    the batch eval, and the latency probe)."""
+    from sqtpu.fit import recover
+
+    def one(im):
+        return recover(im, n_points=cfg.refine_size,
+                       iters=cfg.refine_steps,
+                       robust_c=cfg.refine_robust_c,
+                       prefilter=cfg.refine_filter,
+                       residual=cfg.refine_residual)[0]
+    return one
+
+
 def eval_single(cfg: EvalConfig, image_path: str):
     """``torch/test.py`` equivalent: one BMP -> de-normalized params.
 
@@ -73,12 +89,7 @@ def eval_single(cfg: EvalConfig, image_path: str):
     ``fit.recover``) instead of a checkpointed network."""
     img = read_bmp(image_path).astype(np.float32) / 255.0
     if cfg.model == "classical":
-        from sqtpu.fit import recover
-        pred = np.asarray(recover(jnp.asarray(img), n_points=cfg.refine_size,
-                                  iters=cfg.refine_steps,
-                                  robust_c=cfg.refine_robust_c,
-                                  prefilter=cfg.refine_filter,
-                                  residual=cfg.refine_residual)[0])
+        pred = np.asarray(classical_recover_fn(cfg)(jnp.asarray(img)))
     else:
         model, state = load_eval_state(cfg)
         pred = np.asarray(
@@ -154,15 +165,7 @@ def eval_random(cfg: EvalConfig):
                 gaussian=cfg.noise_gaussian, dropout=cfg.noise_dropout,
                 salt=cfg.noise_salt, quantize=True)[..., None]
         if classical:
-            from sqtpu.fit import recover
-
-            def one(im):
-                return recover(im, n_points=cfg.refine_size,
-                               iters=cfg.refine_steps,
-                               robust_c=cfg.refine_robust_c,
-                               prefilter=cfg.refine_filter,
-                               residual=cfg.refine_residual)[0]
-            p_pred = jax.vmap(one)(imgs[..., 0])
+            p_pred = jax.vmap(classical_recover_fn(cfg))(imgs[..., 0])
         else:
             p_pred = params_vector(
                 model.apply(variables, imgs, train=False))
@@ -251,15 +254,7 @@ def eval_random(cfg: EvalConfig):
     def predict_only(variables, imgs):
         if classical:
             # "predict" for the classical baseline IS the solve
-            from sqtpu.fit import recover
-
-            def one(im):
-                return recover(im, n_points=cfg.refine_size,
-                               iters=cfg.refine_steps,
-                               robust_c=cfg.refine_robust_c,
-                               prefilter=cfg.refine_filter,
-                               residual=cfg.refine_residual)[0]
-            return jax.vmap(one)(imgs[..., 0])
+            return jax.vmap(classical_recover_fn(cfg))(imgs[..., 0])
         return params_vector(model.apply(variables, imgs, train=False))
 
     predict_latency = {}
