@@ -81,6 +81,12 @@ def pytest_sessionfinish(session, exitstatus):
         sys.stderr.write("\n[conftest] interpreter shutdown hung >60s — "
                          "forcing exit (tests already finished, "
                          f"exitstatus={int(exitstatus)})\n")
+        # os._exit skips buffer flushing — do it ourselves or the
+        # terminal summary is lost when stdout is redirected to a file
+        try:
+            sys.stdout.flush()
+        except Exception:
+            pass
         sys.stderr.flush()
         os._exit(int(exitstatus))
 
