@@ -1,6 +1,6 @@
 #!/bin/bash
 # Sensor-noise robustness protocol (chained behind queue_s2): evaluate
-# the retrained flagship on the SAME 1000 shapes with corrupted inputs
+# the retrained hires flagship (c3h, the best CNN) on the SAME 1000 shapes with corrupted inputs
 # (sqtpu.data.augment), CNN-only and with LM refinement — the classical
 # polish fits the noisy visible surface, so its degradation under noise
 # is a finding, not a given. Plus the classical no-CNN baseline row.
@@ -8,7 +8,7 @@ set -u
 cd /root/repo
 while [ ! -f runs/queue_s2.done ]; do sleep 60; done
 
-CKPT=runs/c3_model
+CKPT=runs/c3h_model
 run_eval() {  # $1 out name, extra flags...
   local out=$1; shift
   mkdir -p "runs/$out"

@@ -21,14 +21,14 @@ if ! is_done c3n_s1; then
   RESUME=""
   [ -d runs/c3n_model/last ] && \
     RESUME="--continue-training --resume-from last" || \
-    RESUME="--init-weights runs/c3_model/weights_polish_fp16.npz"
+    RESUME="--init-weights artifacts/resnet_sq_hires_fp16.npz"
   timeout 5400 python -m sqtpu.train --model resnet_sq --loss explicit_sym \
-    --render-size 32 --gauge-weight 2.0 --elong-weight 1.0 \
+    --render-size 64 --gauge-weight 2.0 --elong-weight 1.0 \
     $RESUME \
     --augment-gaussian 0.02 --augment-dropout 0.2 --augment-salt 0.005 \
     --data online --image-size 256 \
-    --batch-size 256 --remat true --learning-rate 2e-5 \
-    --plateau-patience 20 --max-epochs 150 --steps-per-epoch 100 \
+    --batch-size 256 --remat true --learning-rate 1e-5 \
+    --plateau-patience 20 --max-epochs 130 --steps-per-epoch 100 \
     --val-steps 5 --acc-render-size 64 --dtype float32 --nan-policy skip \
     --ckpt-dir runs/c3n_model --compare-images 0 --log-interval 50 \
     >> runs/c3_noiseft.log 2>&1 \

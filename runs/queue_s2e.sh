@@ -25,12 +25,12 @@ run_eval() {  # $1 ckpt, $2 out name, extra flags...
 }
 
 if ! is_done s2e_gd; then
-  run_eval runs/c3_model eval_c3_mixed_gd $NOISE \
+  run_eval runs/c3h_model eval_c3_mixed_gd $NOISE \
     --refine gd --refine-steps 60 --refine-filter median
   done_mark s2e_gd
 fi
 if ! is_done s2e_lmrobust; then
-  run_eval runs/c3_model eval_c3_mixed_lmrobust $NOISE \
+  run_eval runs/c3h_model eval_c3_mixed_lmrobust $NOISE \
     --refine lm --refine-steps 30 --refine-robust-c 4.685 \
     --refine-filter median --refine-residual radial
   done_mark s2e_lmrobust
