@@ -24,6 +24,19 @@ run_eval() {  # $1 ckpt, $2 out name, extra flags...
     --out-dir "runs/$out" "$@" > "runs/$out/eval.log" 2>&1
 }
 
+# deployment-style sensor preprocessing of the CNN input: the median
+# filter fills isolated dropout holes — measured (CPU, n=16) to rescue
+# the dropout-0.2 collapse from full IoU 0.000 to ~0.44 with no
+# retraining; quantify at n=1000, alone and with gd refine on top
+if ! is_done s2e_if; then
+  run_eval runs/c3h_model eval_c3_mixed_if $NOISE --input-filter median
+  done_mark s2e_if
+fi
+if ! is_done s2e_if_gd; then
+  run_eval runs/c3h_model eval_c3_mixed_if_gd $NOISE --input-filter median \
+    --refine gd --refine-steps 60 --refine-filter median
+  done_mark s2e_if_gd
+fi
 if ! is_done s2e_gd; then
   run_eval runs/c3h_model eval_c3_mixed_gd $NOISE \
     --refine gd --refine-steps 60 --refine-filter median

@@ -88,6 +88,9 @@ def eval_single(cfg: EvalConfig, image_path: str):
     ``--model classical`` runs the no-CNN recovery (moments init + L-M,
     ``fit.recover``) instead of a checkpointed network."""
     img = read_bmp(image_path).astype(np.float32) / 255.0
+    if cfg.input_filter != "none":
+        from sqtpu.fit import apply_prefilter
+        img = np.asarray(apply_prefilter(jnp.asarray(img), cfg.input_filter))
     if cfg.model == "classical":
         pred = np.asarray(classical_recover_fn(cfg)(jnp.asarray(img)))
     else:
@@ -164,6 +167,11 @@ def eval_random(cfg: EvalConfig):
                 jax.random.fold_in(key, 1), imgs[..., 0],
                 gaussian=cfg.noise_gaussian, dropout=cfg.noise_dropout,
                 salt=cfg.noise_salt, quantize=True)[..., None]
+        if cfg.input_filter != "none":
+            # sensor preprocessing (deployment-style): clean the model
+            # input itself — the CNN-side counterpart of --refine-filter
+            from sqtpu.fit import apply_prefilter
+            imgs = apply_prefilter(imgs[..., 0], cfg.input_filter)[..., None]
         if classical:
             p_pred = jax.vmap(classical_recover_fn(cfg))(imgs[..., 0])
         else:

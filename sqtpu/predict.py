@@ -47,6 +47,8 @@ class PredictConfig:
     refine_robust_c: float = 0.0      # IRLS Tukey constant (0 = plain LSQ)
     refine_filter: str = "none"       # none | despeckle | median
     refine_residual: str = "sb"       # LM residual: sb | radial
+    input_filter: str = "none"        # sensor preprocessing of the model
+    #   input (none | despeckle | median) — median fills dropout holes
     platform: str = ""                # override jax platform (e.g. "cpu")
 
 
@@ -90,6 +92,9 @@ def predict_files(cfg: PredictConfig, files: list[str]) -> np.ndarray:
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:1]).repeat(
                 pad, axis=0)])
         x = jnp.asarray(imgs)[..., None]
+        if cfg.input_filter != "none":
+            from sqtpu.fit import apply_prefilter
+            x = apply_prefilter(x[..., 0], cfg.input_filter)[..., None]
         p = step(x)
         if cfg.refine != "none":
             p = refine(x[..., 0], p)

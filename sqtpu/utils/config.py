@@ -127,6 +127,12 @@ class EvalConfig:
     noise_gaussian: float = 0.0       # object-pixel depth noise std
     noise_dropout: float = 0.0        # object-pixel missing-return prob
     noise_salt: float = 0.0           # background flying-pixel prob
+    # sensor preprocessing applied to the MODEL INPUT (after corruption,
+    # before the CNN and before refinement) — what a deployment would do
+    # to real depth frames. "median" fills isolated dropout holes and
+    # removes flying pixels (ops.image.median3): the measured rescue for
+    # the dropout collapse (full IoU 0.000 -> see README robustness).
+    input_filter: str = "none"        # none | despeckle | median
 
     # test-time refinement: polish predictions against the input image
     # (CNN init + classical iterative fit — fit.refine_params)

@@ -71,3 +71,18 @@ def test_eval_random_noise_flag(tmp_path):
                      noise_gaussian=0.02, noise_dropout=0.1)
     res = eval_random(cfg)
     assert np.isfinite(res["full_iou_mean"])
+
+
+def test_eval_random_input_filter(tmp_path):
+    # --input-filter median: deployment-style sensor preprocessing of
+    # the model input; same seed => same shapes as the unfiltered run
+    from sqtpu.evaluate import eval_random
+    from sqtpu.utils.config import EvalConfig
+
+    cfg = EvalConfig(ckpt_dir=str(tmp_path / "none"), n=4, batch_size=4,
+                     acc_render_size=16, image_size=64,
+                     out_dir=str(tmp_path / "out"),
+                     noise_dropout=0.2, noise_salt=0.005,
+                     input_filter="median")
+    res = eval_random(cfg)
+    assert np.isfinite(res["full_iou_mean"])
