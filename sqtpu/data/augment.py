@@ -26,9 +26,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _active(x) -> bool:
+    """Static guard: a python 0/0.0 disables a corruption branch at trace
+    time; a traced scalar/array magnitude (domain randomization) always
+    compiles the branch (magnitude 0 is then a runtime no-op)."""
+    return not (isinstance(x, (int, float)) and x <= 0.0)
+
+
 def depth_noise(key: jax.Array, imgs: jax.Array, *,
-                gaussian: float = 0.0, dropout: float = 0.0,
-                salt: float = 0.0, quantize: bool = False) -> jax.Array:
+                gaussian=0.0, dropout=0.0,
+                salt=0.0, quantize: bool = False) -> jax.Array:
     """Apply the configured corruptions to a batch of depth maps.
 
     Args:
@@ -39,20 +46,27 @@ def depth_noise(key: jax.Array, imgs: jax.Array, *,
       dropout: probability an object pixel is dropped to background.
       salt: probability a background pixel becomes a flying pixel.
       quantize: round the result to the 8-bit scanner lattice.
+
+    Magnitudes may be python floats (static) or traced scalars/arrays
+    broadcastable to ``imgs`` (e.g. per-sample ``(B, 1, 1)`` for
+    domain-randomized training augmentation, ``--augment-randomize``).
     """
     kg, kd, ks, kv = jax.random.split(key, 4)
     obj = imgs > 0.0
     out = imgs
-    if gaussian > 0.0:
+    if _active(gaussian):
         noise = gaussian * jax.random.normal(kg, imgs.shape, imgs.dtype)
         # clip into (0, 1]: noisy OBJECT pixels must stay object pixels
         # (eps floor), else noise would silently turn into dropout
         out = jnp.where(obj, jnp.clip(out + noise, 1.0 / 510.0, 1.0), out)
-    if dropout > 0.0:
-        keep = jax.random.bernoulli(kd, 1.0 - dropout, imgs.shape)
+    if _active(dropout):
+        keep = jax.random.bernoulli(
+            kd, jnp.broadcast_to(1.0 - dropout, imgs.shape))
         out = jnp.where(obj & ~keep, 0.0, out)
-    if salt > 0.0:
-        hit = jax.random.bernoulli(ks, salt, imgs.shape)
+    if _active(salt):
+        hit = jax.random.bernoulli(
+            ks, jnp.broadcast_to(jnp.asarray(salt, imgs.dtype),
+                                 imgs.shape))
         depth = jax.random.uniform(kv, imgs.shape, imgs.dtype,
                                    1.0 / 255.0, 1.0)
         out = jnp.where(~obj & hit, depth, out)

@@ -483,9 +483,21 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         @jax.jit
         def _augment(k, batch):
             imgs, lbls = batch
+            g, d, s = (cfg.augment_gaussian, cfg.augment_dropout,
+                       cfg.augment_salt)
+            if cfg.augment_randomize:
+                # per-sample magnitudes U(0, max): the batch spans the
+                # whole corruption range including clean, so the model
+                # cannot specialize to one noise level
+                b = imgs.shape[0]
+                km = jax.random.split(jax.random.fold_in(k, 99), 3)
+                u = lambda kk: jax.random.uniform(
+                    kk, (b, 1, 1), imgs.dtype)
+                g = g * u(km[0]) if g else 0.0
+                d = d * u(km[1]) if d else 0.0
+                s = s * u(km[2]) if s else 0.0
             noisy = depth_noise(
-                k, imgs[..., 0], gaussian=cfg.augment_gaussian,
-                dropout=cfg.augment_dropout, salt=cfg.augment_salt,
+                k, imgs[..., 0], gaussian=g, dropout=d, salt=s,
                 quantize=True)[..., None]
             return noisy, lbls
     else:

@@ -72,6 +72,12 @@ class TrainConfig:
     augment_gaussian: float = 0.0     # object-pixel depth noise std
     augment_dropout: float = 0.0      # object-pixel missing-return prob
     augment_salt: float = 0.0         # background flying-pixel prob
+    # domain randomization: draw each magnitude PER SAMPLE uniformly in
+    # [0, augment_*] instead of using the fixed maxima — a fixed-level
+    # fine-tune specializes to that exact corruption (measured: clean
+    # full IoU 0.886 -> 0.663, off-level noise worse than the clean
+    # model); randomized levels cover the whole range incl. clean
+    augment_randomize: bool = False
 
     # precision / parallelism
     dtype: str = "float32"

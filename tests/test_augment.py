@@ -86,3 +86,42 @@ def test_eval_random_input_filter(tmp_path):
                      input_filter="median")
     res = eval_random(cfg)
     assert np.isfinite(res["full_iou_mean"])
+
+
+def test_depth_noise_traced_magnitudes():
+    # domain randomization: magnitudes as traced per-sample arrays
+    import jax
+    import jax.numpy as jnp
+    from sqtpu.data.augment import depth_noise
+
+    imgs = jnp.ones((4, 16, 16)) * 0.5
+    imgs = imgs.at[:, :2].set(0.0)  # some background
+
+    @jax.jit
+    def f(k, g, d, s):
+        return depth_noise(k, imgs, gaussian=g, dropout=d, salt=s)
+
+    k = jax.random.PRNGKey(0)
+    g = jnp.asarray([0.0, 0.01, 0.02, 0.03]).reshape(4, 1, 1)
+    d = jnp.asarray([0.0, 0.1, 0.2, 0.3]).reshape(4, 1, 1)
+    s = jnp.asarray([0.0, 0.005, 0.01, 0.02]).reshape(4, 1, 1)
+    out = f(k, g, d, s)
+    assert out.shape == imgs.shape
+    # sample 0 has all-zero magnitudes -> untouched
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(imgs[0]))
+    # sample 3 must differ (dropout 0.3 on a 14x16 object region)
+    assert float(jnp.mean(out[3] != imgs[3])) > 0.05
+
+
+def test_train_with_randomized_augmentation():
+    from sqtpu.training.loop import train
+    from sqtpu.utils.config import TrainConfig
+
+    _, hist = train(TrainConfig(
+        max_epochs=1, steps_per_epoch=2, val_steps=1, batch_size=4,
+        image_size=32, render_size=16, acc_render_size=16,
+        loss="supervised", use_pallas=False, donate=False, ckpt_dir="",
+        log_interval=100, augment_gaussian=0.02, augment_dropout=0.2,
+        augment_salt=0.005, augment_randomize=True),
+        synthetic_size=8)
+    assert np.isfinite(hist["loss"]).all()
