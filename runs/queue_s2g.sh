@@ -62,4 +62,17 @@ PYEOF
   done_mark c3r_eval
 fi
 
+# clean classical baseline (never recorded before): plain and hardened
+if ! is_done s2g_classical_clean; then
+  mkdir -p runs/eval_classical runs/eval_classical_robust
+  python -m sqtpu.evaluate --model classical --n 200 --batch-size 25 \
+    --refine-steps 30 --out-dir runs/eval_classical \
+    > runs/eval_classical/eval.log 2>&1
+  python -m sqtpu.evaluate --model classical --n 200 --batch-size 25 \
+    --refine-steps 30 --refine-robust-c 4.685 --refine-filter median \
+    --refine-residual radial --out-dir runs/eval_classical_robust \
+    > runs/eval_classical_robust/eval.log 2>&1
+  done_mark s2g_classical_clean
+fi
+
 echo DONE > runs/queue_s2g.done
