@@ -70,17 +70,25 @@ def pytest_configure(config):
 
 
 def pytest_sessionfinish(session, exitstatus):
-    """Arm a teardown watchdog: this environment's tunneled-TPU backend
-    registers atexit handlers that can hang the interpreter after the run
-    completes. If normal shutdown takes >60 s, force-exit with the
-    session's real status so the result is never lost to the hang."""
+    """Arm a teardown watchdog: something in this environment's tunneled-
+    TPU backend hangs the process after the last test (observed: inside a
+    later sessionfinish hook, BEFORE the terminal summary prints — and
+    again at interpreter shutdown). If teardown takes >60 s, force-exit
+    with the session's real status, printing the pass/fail counts the
+    swallowed summary would have shown."""
     import sys
     import threading
 
+    try:
+        tr = session.config.pluginmanager.get_plugin("terminalreporter")
+        stats = {k: len(v) for k, v in tr.stats.items() if k}
+    except Exception:
+        stats = {}
+
     def _force_exit():
-        sys.stderr.write("\n[conftest] interpreter shutdown hung >60s — "
-                         "forcing exit (tests already finished, "
-                         f"exitstatus={int(exitstatus)})\n")
+        sys.stderr.write("\n[conftest] teardown hung >60s — forcing exit "
+                         f"(exitstatus={int(exitstatus)}, results "
+                         f"{stats or 'unavailable'})\n")
         # os._exit skips buffer flushing — do it ourselves or the
         # terminal summary is lost when stdout is redirected to a file
         try:
