@@ -52,3 +52,20 @@ def test_predict_csv_normalized_mode(tmp_path):
     vals = np.asarray([[float(v) for v in r[1:]] for r in rows])
     assert (vals[:, 0:3] <= 1.0).all()  # size columns stay normalized
     assert (vals[:, 5:8] <= 1.0).all()  # position columns too
+
+
+def test_predict_with_input_filter_and_refine(tmp_path):
+    # deployment combo: median input preprocessing + LM refinement with
+    # the robustness knobs — smoke the full hardened bulk path
+    src = _make_inputs(tmp_path, n=3)
+    files = list_inputs(src)
+    cfg = PredictConfig(inputs=src, ckpt_dir=str(tmp_path / "none"),
+                        batch_size=4, image_size=64,
+                        input_filter="median", refine="lm",
+                        refine_steps=3, refine_size=16,
+                        refine_robust_c=4.685, refine_residual="radial",
+                        refine_filter="median",
+                        out=str(tmp_path / "pred.csv"))
+    params = predict_files(cfg, files)
+    assert params.shape == (3, 12)
+    assert np.isfinite(params).all()
