@@ -58,6 +58,16 @@ def _supported(n: int) -> bool:
     return (n * n) % LANES == 0 and n >= 16
 
 
+def _max_batch() -> int:
+    """Per-pallas_call batch cap. The per-sample params (B, 24) and loss
+    (B, 1) ride SMEM as full arrays (scalar-prefetch design), and SMEM
+    scoped allocation fails around B=1024 on v5e; 512 is the proven
+    envelope. Larger batches are chunked at the wrapper level — measured
+    throughput is flat in batch anyway (bench sweep: 256 -> 5,439,
+    512 -> 5,538 imgs/s/chip). Env-tunable for tests."""
+    return int(os.environ.get("SQTPU_KERNEL_MAX_BATCH", "512"))
+
+
 def _tile_b(batch: int, n: int) -> int:
     """Samples per program: as many as divide the batch AND keep the
     backward's 17 accumulator planes within ~4 MB of VMEM (the rest of
@@ -393,5 +403,12 @@ def implicit_loss_pallas(
         [a, e, tr, rot.reshape(-1, 9),
          jnp.zeros((pp.shape[0], 7), jnp.float32)], axis=-1)
 
-    sums = _core(img_xy, par, n, float(tau), float(sharpness))
+    b, mb = par.shape[0], _max_batch()
+    if b > mb:
+        sums = jnp.concatenate([
+            _core(img_xy[i:i + mb], par[i:i + mb], n, float(tau),
+                  float(sharpness))
+            for i in range(0, b, mb)])
+    else:
+        sums = _core(img_xy, par, n, float(tau), float(sharpness))
     return jnp.mean(sums) / (n * n)

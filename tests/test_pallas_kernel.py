@@ -182,3 +182,30 @@ class TestHardRenderKernel:
         got = render_hard_auto(p, 32)
         d = np.abs(np.asarray(ref) * 255 - np.asarray(got) * 255)
         assert (d > 1).mean() < 1e-3
+
+
+def test_batch_chunking_parity(monkeypatch):
+    """Batches above the per-call SMEM cap are chunked at the wrapper
+    level; loss AND gradient must be identical to the single-call path."""
+    import jax
+    import jax.numpy as jnp
+
+    from sqtpu.ops.kernels.implicit import implicit_loss_pallas
+
+    monkeypatch.setenv("SQTPU_PALLAS_INTERPRET", "1")
+    key = jax.random.PRNGKey(3)
+    from sqtpu.data.synthetic import sample_params
+    p = sample_params(key, 6)
+    img = jax.vmap(lambda pi: render_depth_soft(pi, 32, 1.5, 260.0))(
+        jnp.roll(p, 1, axis=0))
+
+    def loss(pp):
+        return implicit_loss_pallas(img, pp, 32)
+
+    whole_l, whole_g = jax.value_and_grad(loss)(p)
+    monkeypatch.setenv("SQTPU_KERNEL_MAX_BATCH", "2")  # force 3 chunks
+    chunk_l, chunk_g = jax.value_and_grad(loss)(p)
+    np.testing.assert_allclose(np.asarray(chunk_l), np.asarray(whole_l),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunk_g), np.asarray(whole_g),
+                               rtol=1e-5, atol=1e-7)
