@@ -17,11 +17,14 @@ intermediates in HBM and lays the grid out with the 64-wide z axis on the
 * processes the volume plane-by-plane along z with the transmittance
   accumulated in VMEM (the z-cumsum becomes a sequential loop);
 * fuses the L1 reduction, so HBM traffic is params in, one scalar out;
-* implements the BACKWARD analytically with ZERO saved volume state:
-  pass 1 (far→near) produces the total transmittance sum; pass 2 sweeps
-  far→near again, recomputing the running suffix-occupancy S_j and
-  recovering the needed prefix sums as W_j = Tacc − (V − T_j). Autodiff
-  of the XLA lowering would instead save O(N³) residuals per sample.
+* implements the BACKWARD analytically with only O(N²) saved state:
+  the forward emits its per-pixel total transmittance sum Tacc (one
+  plane per sample — B·N² floats, ~8 MB at batch 512) as a residual,
+  so the backward is a SINGLE far→near sweep that recomputes the
+  running suffix-occupancy S_j and recovers the needed prefix sums as
+  W_j = Tacc − (V − T_j). Autodiff of the XLA lowering would instead
+  save O(N³) residuals per sample; the first kernel generation spent a
+  second full volume sweep recomputing Tacc instead.
 
 Parameterization: the kernel differentiates w.r.t. the *derived* frame
 (a(3), e(2), t_rot(3), R(9)) — 17 values; the tiny chains t_rot = R·t,
@@ -156,7 +159,7 @@ def _occ(F, sharp):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
-                par_ref, img_ref, out_ref):
+                par_ref, img_ref, out_ref, tacc_ref):
     rows = (n * n) // LANES
     prog = pl.program_id(0)
     X, Y = _plane_coords(n, tile_b * rows, rows)
@@ -173,6 +176,7 @@ def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 
     zero = jnp.zeros((tile_b * rows, LANES), jnp.float32)
     _, Tacc = jax.lax.fori_loop(0, n, body, (zero, zero))
+    tacc_ref[0] = Tacc  # residual for the single-sweep backward
     diff = jnp.abs(img_ref[0] - (1.0 - Tacc / n))
     for k in range(tile_b):
         out_ref[prog * tile_b + k, 0] = jnp.sum(
@@ -184,7 +188,8 @@ def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
-                par_ref, g_ref, img_ref, dpar_ref, dimg_ref, acc_scr):
+                par_ref, g_ref, img_ref, tacc_ref, dpar_ref, dimg_ref,
+                acc_scr):
     rows = (n * n) // LANES
     prog = pl.program_id(0)
     tile_rows = tile_b * rows
@@ -192,16 +197,9 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
     pp = _param_planes(par_ref, prog, tile_b, rows)
     a1, a2, a3, e1, e2 = pp[0], pp[1], pp[2], pp[3], pp[4]
 
-    # ---- pass 1 (far -> near): total transmittance sum Tacc
-    def p1(jj, carry):
-        S, Tacc = carry
-        z = _zval(n - 1 - jj, n)
-        F = _field_terms(pp, X, Y, z)["F"]
-        S = S + _occ(F, sharp)
-        return S, Tacc + jnp.exp(-tau * S)
-
+    # total transmittance sum Tacc: saved by the forward (O(N²)/sample)
     zero = jnp.zeros((tile_rows, LANES), jnp.float32)
-    _, Tacc = jax.lax.fori_loop(0, n, p1, (zero, zero))
+    Tacc = tacc_ref[0]
     depth = 1.0 - Tacc / n
 
     # upstream cotangent per sample, broadcast to its row block
@@ -220,7 +218,7 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 
     acc_scr[:] = jnp.zeros((N_PAR, tile_rows, LANES), jnp.float32)
 
-    # ---- pass 2 (far -> near again): recompute S_j and T_j on the fly;
+    # ---- single sweep (far -> near): recompute S_j and T_j on the fly;
     # the prefix sum W_j = sum_{z'<=j} T is recovered as Tacc - (V - T_j)
     # where V accumulates T over the planes visited so far (z' >= j).
     #
@@ -229,8 +227,13 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
     # (where gF underflows to exactly 0, but inf*0 = NaN). They are
     # therefore assembled in log space with the exponent clamped: inside
     # the shell the true exponents are small, so the clamp is inactive
-    # where gradients matter.
+    # where gradients matter. Factors that are exact products of
+    # already-computed clamped exponentials are assembled by
+    # multiplication instead of a fresh exp() — transcendentals are the
+    # kernel's unit of cost (VPU-bound): 16 exp/log per point here vs 33
+    # for the naive two-pass form.
     CLAMP = 30.0
+    EXPCLAMP = jnp.float32(1.0686475e13)  # exp(CLAMP)
 
     def _ex(logterm):
         return jnp.exp(jnp.minimum(logterm, CLAMP))
@@ -264,14 +267,23 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
         acc_scr[0] += -gx * u / a1
         acc_scr[1] += -gy * v / a2
         acc_scr[2] += -gz * w / a3
-        # e1, e2 (each F·lnH-style product assembled in log space)
+        # e1, e2: every factor below is an exact identity on the clamped
+        # exponentials above (exp is monotone, so exp(min(s,C)) =
+        # min(exp(s), exp(C)), and e.g. lfh + le - lg + lx/e2 =
+        # [dF_dx2's exponent] + lx, i.e. dF_dx2·x2g) — no fresh exp():
+        #   _ex(e1·lh)          = min(F, e^C)
+        #   _ex(lfh + lz/e1)    = dF_dz2 · z2g
+        #   _ex(lfh+le-lg+lx/e2)= dF_dx2 · x2g  (ly analogous)
+        # (the composed clamp can bind at a different magnitude than the
+        # single-exp form, but only where gF has already underflowed)
         le = (e2 / e1) * lg                          # log E
-        acc_scr[3] += gF * (_ex(e1 * lh) * lh
+        x2g, y2g, z2g = T["x2g"], T["y2g"], T["z2g"]
+        acc_scr[3] += gF * (jnp.minimum(F, EXPCLAMP) * lh
                             - (_ex(lfh + le) * lg * e2
-                               + _ex(lfh + lz / e1) * lz) / e1)
+                               + dF_dz2 * z2g * lz) / e1)
         acc_scr[4] += gF * (_ex(lfh + le) * lg
-                            - (_ex(lfh + le - lg + lx / e2) * lx
-                               + _ex(lfh + le - lg + ly / e2) * ly) / e2)
+                            - (dF_dx2 * x2g * lx
+                               + dF_dy2 * y2g * ly) / e2)
         # t_rot: du/dt0 = -1/a1
         acc_scr[5] += -gx / a1
         acc_scr[6] += -gy / a2
@@ -313,18 +325,27 @@ def _fwd_call(img_xy, par, n: int, tau: float, sharp: float):
             pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1)
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # loss sums, full (B, 1)
+            pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # Tacc residual tiles
+        ),
     )
     img_tiles = img_xy.reshape(b // tile_b, tile_b * rows, LANES)
-    return pl.pallas_call(
+    sums, tacc = pl.pallas_call(
         functools.partial(_fwd_kernel, n, tau, sharp, tile_b),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b // tile_b, tile_b * rows, LANES),
+                                 jnp.float32),
+        ),
         interpret=_interpret(),
-    )(par, img_tiles)[:, 0]
+    )(par, img_tiles)
+    return sums[:, 0], tacc
 
 
-def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
+def _bwd_call(img_xy, par, tacc, g, n: int, tau: float, sharp: float):
     b = par.shape[0]
     tile_b = _tile_b(b, n)
     rows = (n * n) // LANES
@@ -334,6 +355,8 @@ def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
         in_specs=[
             pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b * rows, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # Tacc residual
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dpar, full (B, 24)
@@ -354,21 +377,22 @@ def _bwd_call(img_xy, par, g, n: int, tau: float, sharp: float):
                                  jnp.float32),
         ),
         interpret=_interpret(),
-    )(par, g, img_tiles)
+    )(par, g, img_tiles, tacc)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _core(img_xy, par, n, tau, sharp):
-    return _fwd_call(img_xy, par, n, tau, sharp)
+    return _fwd_call(img_xy, par, n, tau, sharp)[0]
 
 
 def _core_fwd(img_xy, par, n, tau, sharp):
-    return _fwd_call(img_xy, par, n, tau, sharp), (img_xy, par)
+    sums, tacc = _fwd_call(img_xy, par, n, tau, sharp)
+    return sums, (img_xy, par, tacc)
 
 
 def _core_bwd(n, tau, sharp, res, g):
-    img_xy, par = res
-    dpar, dimg = _bwd_call(img_xy, par, g, n, tau, sharp)
+    img_xy, par, tacc = res
+    dpar, dimg = _bwd_call(img_xy, par, tacc, g, n, tau, sharp)
     return dimg.reshape(img_xy.shape), dpar
 
 
