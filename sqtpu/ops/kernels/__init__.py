@@ -43,6 +43,20 @@ def implicit_loss_auto(img, pred_p, render_size=64, tau=1.5,
     return losses.implicit_loss(img, pred_p, render_size, tau, sharpness)
 
 
+def explicit_loss_auto(true_p, pred_p, render_size=32, reduce=True):
+    """Explicit occupancy-MSE, fused kernel when available. NOTE the
+    kernel's gradient contract: d/d true_p is zero (labels are constants
+    in every training consumer); the XLA path differentiates both sides."""
+    if pallas_available() and pred_p.dtype == jax.numpy.float32:
+        try:
+            from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+            return explicit_loss_pallas(true_p, pred_p, render_size,
+                                        reduce=reduce)
+        except ImportError:
+            pass
+    return losses.explicit_loss(true_p, pred_p, render_size, reduce=reduce)
+
+
 def render_hard_auto(p_batch, image_size=256, n_sweep=48, n_bisect=12,
                      quantize=True):
     """Batched hard render, fused Pallas kernel when available (byte-

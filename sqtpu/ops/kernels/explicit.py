@@ -1,0 +1,239 @@
+"""Fused Pallas TPU kernel for the explicit loss (occupancy-grid MSE).
+
+The explicit loss (``/root/reference/torch/classes.py:109-201``) compares
+sigmoid(5·(1−F)) occupancies of the TRUE and PREDICTED superquadric on
+the (N+1)³ explicit grid (quirk Q1) and takes MSE ×100 (quirk Q3). It is
+the flagship training recipe's geometry term (``--loss explicit_sym``).
+
+Why a kernel: the jnp path's forward is fine (XLA fuses the separable-
+grid field into one elementwise pass), but its AUTODIFF backward
+materializes every (N+1)³ fp32 intermediate of the exponent chain in
+HBM — measured 250 ms @64³ (16× the 16 ms forward) and 805 ms @96³ at
+batch 256 on v5e. This kernel evaluates both occupancies plane-by-plane
+in VMEM and accumulates the analytic gradient w.r.t. the 17 derived
+frame params (same dF chain as the implicit kernel —
+:func:`sqtpu.ops.kernels.implicit._frame_grad_step`), so HBM traffic is
+params in, scalars out; no volume ever exists.
+
+Unlike the implicit grid (N² divisible by 128), the explicit plane has
+(N+1)² points — not lane-aligned — so planes are padded to a multiple of
+128 and masked: padded lanes contribute 0 to the loss and the gradient.
+
+Gradient contract: the TRUE side gets NO gradient (the wrapper applies
+``stop_gradient``) — labels are constants in every consumer (training
+losses, ``fit.gd_fit``'s fixed target, eval). Consumers needing d/d true
+must use :func:`sqtpu.ops.losses.explicit_loss` (XLA autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sqtpu.ops.kernels.implicit import (
+    LANES, N_PAR, _field_terms, _frame_grad_step, _frame_params,
+    _interpret, _max_batch, _occ, _param_planes,
+)
+
+SHARP = 5.0  # explicit occupancy sharpness (classes.py:187, quirk Q2)
+
+
+def _rows(n: int) -> int:
+    m = n + 1
+    return -(-(m * m) // LANES)  # ceil
+
+
+def _supported(n: int) -> bool:
+    return n >= 8
+
+
+def _tile_b(batch: int, n: int) -> int:
+    """Samples per program: divide the batch AND keep the backward's 17
+    accumulator planes within ~4 MB of VMEM."""
+    rows = _rows(n)
+    budget = 4 * 1024 * 1024
+    for t in (8, 4, 2):
+        if batch % t == 0 and N_PAR * t * rows * LANES * 4 <= budget:
+            return t
+    return 1
+
+
+def _plane_coords(n: int, tile_rows: int, rows: int):
+    """Lane-packed (tile_rows, 128) x/y coordinates on the EXPLICIT axis
+    (value j/N for j = 0..N, zero nudged to 1e-4 — geometry.make_axis
+    'explicit'), plus the padding mask (1.0 on real grid points)."""
+    m = n + 1
+    r = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    idx = (r % rows) * LANES + l
+    valid = (idx < m * m).astype(jnp.float32)
+    idx = jnp.minimum(idx, m * m - 1)
+    xi = idx // m
+    yi = idx - xi * m
+    inv = 1.0 / n
+    X = jnp.where(xi == 0, 1e-4, xi.astype(jnp.float32) * inv)
+    Y = jnp.where(yi == 0, 1e-4, yi.astype(jnp.float32) * inv)
+    return X, Y, valid
+
+
+def _zval(j, n: int):
+    inv = 1.0 / n
+    return jnp.where(j == 0, jnp.float32(1e-4), j.astype(jnp.float32) * inv)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(n: int, tile_b: int, par_t_ref, par_p_ref, out_ref):
+    rows = _rows(n)
+    prog = pl.program_id(0)
+    tile_rows = tile_b * rows
+    X, Y, valid = _plane_coords(n, tile_rows, rows)
+    pp_t = _param_planes(par_t_ref, prog, tile_b, rows)
+    pp_p = _param_planes(par_p_ref, prog, tile_b, rows)
+
+    def body(j, acc):
+        z = _zval(j, n)
+        occ_t = _occ(_field_terms(pp_t, X, Y, z)["F"], SHARP)
+        occ_p = _occ(_field_terms(pp_p, X, Y, z)["F"], SHARP)
+        d = (occ_t - occ_p) * valid
+        return acc + d * d
+
+    zero = jnp.zeros((tile_rows, LANES), jnp.float32)
+    acc = jax.lax.fori_loop(0, n + 1, body, zero)
+    for k in range(tile_b):
+        out_ref[prog * tile_b + k, 0] = jnp.sum(
+            acc[k * rows:(k + 1) * rows])
+
+
+def _bwd_kernel(n: int, tile_b: int, par_t_ref, par_p_ref, g_ref,
+                dpar_ref, acc_scr):
+    rows = _rows(n)
+    prog = pl.program_id(0)
+    tile_rows = tile_b * rows
+    X, Y, valid = _plane_coords(n, tile_rows, rows)
+    pp_t = _param_planes(par_t_ref, prog, tile_b, rows)
+    pp_p = _param_planes(par_p_ref, prog, tile_b, rows)
+
+    # upstream cotangent per sample, broadcast to its row block
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    sample = row // rows
+    g = jnp.full((tile_rows, LANES), 0.0, jnp.float32)
+    for k in range(tile_b):
+        g = jnp.where(sample == k, g_ref[prog * tile_b + k], g)
+
+    acc_scr[:] = jnp.zeros((N_PAR, tile_rows, LANES), jnp.float32)
+
+    def body(j, carry):
+        z = _zval(j, n)
+        occ_t = _occ(_field_terms(pp_t, X, Y, z)["F"], SHARP)
+        T = _field_terms(pp_p, X, Y, z)
+        occ_p = _occ(T["F"], SHARP)
+        # d (occ_t - occ_p)² / dF_p = 2(occ_t-occ_p)·sharp·occ_p(1-occ_p)
+        gF = g * valid * 2.0 * (occ_t - occ_p) * SHARP \
+            * occ_p * (1.0 - occ_p)
+        _frame_grad_step(acc_scr, T, gF, pp_p, X, Y, z)
+        return carry
+
+    jax.lax.fori_loop(0, n + 1, body, 0)
+
+    for k in range(tile_b):
+        for i in range(N_PAR):
+            dpar_ref[prog * tile_b + k, i] = jnp.sum(
+                acc_scr[i, k * rows:(k + 1) * rows])
+        for i in range(N_PAR, 24):
+            dpar_ref[prog * tile_b + k, i] = 0.0
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom_vjp
+# ---------------------------------------------------------------------------
+
+def _fwd_call(par_t, par_p, n: int):
+    b = par_p.shape[0]
+    tile_b = _tile_b(b, n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # par_t, par_p (B, 24) ride SMEM
+        grid=(b // tile_b,),
+        in_specs=[],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1)
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n, tile_b),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        interpret=_interpret(),
+    )(par_t, par_p)[:, 0]
+
+
+def _bwd_call(par_t, par_p, g, n: int):
+    b = par_p.shape[0]
+    tile_b = _tile_b(b, n)
+    rows = _rows(n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # par_t, par_p (B, 24), upstream g (B,)
+        grid=(b // tile_b,),
+        in_specs=[],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # dpar (B, 24)
+        scratch_shapes=[
+            pltpu.VMEM((N_PAR, tile_b * rows, LANES), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, n, tile_b),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 24), jnp.float32),
+        interpret=_interpret(),
+    )(par_t, par_p, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _core(par_t, par_p, n):
+    return _fwd_call(par_t, par_p, n)
+
+
+def _core_fwd(par_t, par_p, n):
+    return _fwd_call(par_t, par_p, n), (par_t, par_p)
+
+
+def _core_bwd(n, res, g):
+    par_t, par_p = res
+    dpar = _bwd_call(par_t, par_p, g, n)
+    # the true side is stop_gradient'ed by the wrapper (see module doc)
+    return jnp.zeros_like(par_t), dpar
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def explicit_loss_pallas(
+    true_p: jax.Array,
+    pred_p: jax.Array,
+    render_size: int = 32,
+    reduce: bool = True,
+) -> jax.Array:
+    """Drop-in fused replacement for
+    :func:`sqtpu.ops.losses.explicit_loss` (fp32; gradient w.r.t.
+    ``pred_p`` only — ``true_p`` is stop_gradient'ed)."""
+    n = render_size
+    if not _supported(n):
+        from sqtpu.ops import losses
+        return losses.explicit_loss(true_p, pred_p, n, reduce=reduce)
+
+    par_t = _frame_params(jax.lax.stop_gradient(true_p))
+    par_p = _frame_params(pred_p)
+
+    b, mb = par_p.shape[0], _max_batch()
+    if b > mb:
+        sums = jnp.concatenate([
+            _core(par_t[i:i + mb], par_p[i:i + mb], n)
+            for i in range(0, b, mb)])
+    else:
+        sums = _core(par_t, par_p, n)
+    per_sample = sums * (100.0 / (n + 1) ** 3)  # mean over (N+1)³ ×100
+    return jnp.mean(per_sample) if reduce else per_sample

@@ -154,6 +154,94 @@ def _occ(F, sharp):
     return jax.nn.sigmoid(sharp * (1.0 - F))
 
 
+# All F-derivative factors are products/ratios of exponentials whose
+# naive evaluation overflows fp32 far outside the occupancy shell
+# (where gF underflows to exactly 0, but inf*0 = NaN). They are
+# therefore assembled in log space with the exponent clamped: inside
+# the shell the true exponents are small, so the clamp is inactive
+# where gradients matter.
+CLAMP = 30.0
+EXPCLAMP = 1.0686475e13  # exp(CLAMP); python float — a jnp scalar here
+#                          would be a captured constant pallas rejects
+
+
+def _ex(logterm):
+    return jnp.exp(jnp.minimum(logterm, CLAMP))
+
+
+def _frame_grad_step(acc_scr, T, gF, pp, X, Y, z):
+    """Accumulate one plane's gradient w.r.t. the 17 frame params
+    (a(3), e(2), t_rot(3), R(9)) into ``acc_scr``, given the plane's
+    field terms ``T`` and the cotangent ``gF`` = dL/dF at each point.
+
+    Shared by the implicit and explicit loss kernels (the chain is a
+    property of the inside-outside function F alone). Factors that are
+    exact products of already-computed clamped exponentials are
+    assembled by multiplication instead of a fresh exp() —
+    transcendentals are the kernels' unit of cost (VPU-bound):
+      _ex(e1·lh)          = min(F, e^CLAMP)
+      _ex(lfh + lz/e1)    = dF_dz2 · z2g
+      _ex(lfh+le-lg+lx/e2)= dF_dx2 · x2g  (ly analogous)
+    (the composed clamp can bind at a different magnitude than the
+    single-exp form, but only where gF has already underflowed).
+    """
+    a1, a2, a3, e1, e2 = pp[0], pp[1], pp[2], pp[3], pp[4]
+    F = T["F"]
+    lh, lg = T["lh"], T["lg"]
+    lx, ly, lz = T["lx"], T["ly"], T["lz"]
+    lfh = (e1 - 1.0) * lh                       # log(F/H)
+    dF_dx2 = _ex(lfh + (e2 / e1 - 1.0) * lg + (1.0 / e2 - 1.0) * lx)
+    dF_dy2 = _ex(lfh + (e2 / e1 - 1.0) * lg + (1.0 / e2 - 1.0) * ly)
+    dF_dz2 = _ex(lfh + (1.0 / e1 - 1.0) * lz)
+    u, v, w = T["u"], T["v"], T["w"]
+    gx = gF * dF_dx2 * 2.0 * u
+    gy = gF * dF_dy2 * 2.0 * v
+    gz = gF * dF_dz2 * 2.0 * w
+
+    # a: d u/d a1 = -u/a1
+    acc_scr[0] += -gx * u / a1
+    acc_scr[1] += -gy * v / a2
+    acc_scr[2] += -gz * w / a3
+    # e1, e2
+    le = (e2 / e1) * lg                          # log E
+    x2g, y2g, z2g = T["x2g"], T["y2g"], T["z2g"]
+    acc_scr[3] += gF * (jnp.minimum(F, EXPCLAMP) * lh
+                        - (_ex(lfh + le) * lg * e2
+                           + dF_dz2 * z2g * lz) / e1)
+    acc_scr[4] += gF * (_ex(lfh + le) * lg
+                        - (dF_dx2 * x2g * lx
+                           + dF_dy2 * y2g * ly) / e2)
+    # t_rot: du/dt0 = -1/a1
+    acc_scr[5] += -gx / a1
+    acc_scr[6] += -gy / a2
+    acc_scr[7] += -gz / a3
+    # R rows: du/dr0k = coord_k/a1
+    acc_scr[8] += gx * X / a1
+    acc_scr[9] += gx * Y / a1
+    acc_scr[10] += gx * z / a1
+    acc_scr[11] += gy * X / a2
+    acc_scr[12] += gy * Y / a2
+    acc_scr[13] += gy * z / a2
+    acc_scr[14] += gz * X / a3
+    acc_scr[15] += gz * Y / a3
+    acc_scr[16] += gz * z / a3
+
+
+def _frame_params(p):
+    """Clamp a (B, 12) param batch and expand to the kernels' (B, 24)
+    derived-frame layout [a(3), e(2), t_rot(3), R(9), 0(7)] — the tiny
+    differentiable chains (clamp, R = R(q*), t_rot = R·t) stay in XLA
+    around the custom_vjp so their semantics match the jnp losses
+    bit-for-bit."""
+    pp = geometry.clamp_params(p.astype(jnp.float32))
+    a, e, t, q = geometry.split_params(pp)
+    rot = quat.to_matrix(quat.conjugate(q))             # (B, 3, 3)
+    tr = jnp.einsum("bij,bj->bi", rot, t)
+    return jnp.concatenate(
+        [a, e, tr, rot.reshape(-1, 9),
+         jnp.zeros((pp.shape[0], 7), jnp.float32)], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -195,7 +283,6 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
     tile_rows = tile_b * rows
     X, Y = _plane_coords(n, tile_rows, rows)
     pp = _param_planes(par_ref, prog, tile_b, rows)
-    a1, a2, a3, e1, e2 = pp[0], pp[1], pp[2], pp[3], pp[4]
 
     # total transmittance sum Tacc: saved by the forward (O(N²)/sample)
     zero = jnp.zeros((tile_rows, LANES), jnp.float32)
@@ -221,83 +308,21 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
     # ---- single sweep (far -> near): recompute S_j and T_j on the fly;
     # the prefix sum W_j = sum_{z'<=j} T is recovered as Tacc - (V - T_j)
     # where V accumulates T over the planes visited so far (z' >= j).
-    #
-    # All F-derivative factors are products/ratios of exponentials whose
-    # naive evaluation overflows fp32 far outside the occupancy shell
-    # (where gF underflows to exactly 0, but inf*0 = NaN). They are
-    # therefore assembled in log space with the exponent clamped: inside
-    # the shell the true exponents are small, so the clamp is inactive
-    # where gradients matter. Factors that are exact products of
-    # already-computed clamped exponentials are assembled by
-    # multiplication instead of a fresh exp() — transcendentals are the
-    # kernel's unit of cost (VPU-bound): 16 exp/log per point here vs 33
-    # for the naive two-pass form.
-    CLAMP = 30.0
-    EXPCLAMP = jnp.float32(1.0686475e13)  # exp(CLAMP)
-
-    def _ex(logterm):
-        return jnp.exp(jnp.minimum(logterm, CLAMP))
-
+    # 16 exp/log per point (vs 33 for the naive two-pass form) — see
+    # _frame_grad_step for the shared dF chain and its clamp notes.
     def p2(jj, carry):
         S, V = carry
         j = n - 1 - jj
         z = _zval(j, n)
         T = _field_terms(pp, X, Y, z)
-        F = T["F"]
-        lh, lg = T["lh"], T["lg"]
-        lx, ly, lz = T["lx"], T["ly"], T["lz"]
-        occ = _occ(F, sharp)
+        occ = _occ(T["F"], sharp)
         S = S + occ
         Tj = jnp.exp(-tau * S)
         V = V + Tj
         W = Tacc - V + Tj
         # g wrt F at this plane: phi * W * docc/dF
         gF = phi * W * (-sharp) * occ * (1.0 - occ)
-
-        lfh = (e1 - 1.0) * lh                       # log(F/H)
-        dF_dx2 = _ex(lfh + (e2 / e1 - 1.0) * lg + (1.0 / e2 - 1.0) * lx)
-        dF_dy2 = _ex(lfh + (e2 / e1 - 1.0) * lg + (1.0 / e2 - 1.0) * ly)
-        dF_dz2 = _ex(lfh + (1.0 / e1 - 1.0) * lz)
-        u, v, w = T["u"], T["v"], T["w"]
-        gx = gF * dF_dx2 * 2.0 * u
-        gy = gF * dF_dy2 * 2.0 * v
-        gz = gF * dF_dz2 * 2.0 * w
-
-        # a: d u/d a1 = -u/a1
-        acc_scr[0] += -gx * u / a1
-        acc_scr[1] += -gy * v / a2
-        acc_scr[2] += -gz * w / a3
-        # e1, e2: every factor below is an exact identity on the clamped
-        # exponentials above (exp is monotone, so exp(min(s,C)) =
-        # min(exp(s), exp(C)), and e.g. lfh + le - lg + lx/e2 =
-        # [dF_dx2's exponent] + lx, i.e. dF_dx2·x2g) — no fresh exp():
-        #   _ex(e1·lh)          = min(F, e^C)
-        #   _ex(lfh + lz/e1)    = dF_dz2 · z2g
-        #   _ex(lfh+le-lg+lx/e2)= dF_dx2 · x2g  (ly analogous)
-        # (the composed clamp can bind at a different magnitude than the
-        # single-exp form, but only where gF has already underflowed)
-        le = (e2 / e1) * lg                          # log E
-        x2g, y2g, z2g = T["x2g"], T["y2g"], T["z2g"]
-        acc_scr[3] += gF * (jnp.minimum(F, EXPCLAMP) * lh
-                            - (_ex(lfh + le) * lg * e2
-                               + dF_dz2 * z2g * lz) / e1)
-        acc_scr[4] += gF * (_ex(lfh + le) * lg
-                            - (dF_dx2 * x2g * lx
-                               + dF_dy2 * y2g * ly) / e2)
-        # t_rot: du/dt0 = -1/a1
-        acc_scr[5] += -gx / a1
-        acc_scr[6] += -gy / a2
-        acc_scr[7] += -gz / a3
-        # R rows: du/dr0k = coord_k/a1
-        acc_scr[8] += gx * X / a1
-        acc_scr[9] += gx * Y / a1
-        acc_scr[10] += gx * z / a1
-        acc_scr[11] += gy * X / a2
-        acc_scr[12] += gy * Y / a2
-        acc_scr[13] += gy * z / a2
-        acc_scr[14] += gz * X / a3
-        acc_scr[15] += gz * Y / a3
-        acc_scr[16] += gz * z / a3
+        _frame_grad_step(acc_scr, T, gF, pp, X, Y, z)
         return S, V
 
     jax.lax.fori_loop(0, n, p2, (zero, zero))
@@ -419,13 +444,7 @@ def implicit_loss_pallas(
     img_xy = jnp.flip(small, axis=-2).transpose(0, 2, 1).reshape(
         small.shape[0], (n * n) // LANES, LANES)
 
-    pp = geometry.clamp_params(pred_p.astype(jnp.float32))
-    a, e, t, q = geometry.split_params(pp)
-    rot = quat.to_matrix(quat.conjugate(q))             # (B, 3, 3)
-    tr = jnp.einsum("bij,bj->bi", rot, t)
-    par = jnp.concatenate(
-        [a, e, tr, rot.reshape(-1, 9),
-         jnp.zeros((pp.shape[0], 7), jnp.float32)], axis=-1)
+    par = _frame_params(pred_p)
 
     b, mb = par.shape[0], _max_batch()
     if b > mb:

@@ -64,6 +64,34 @@ def implicit_loss_dp(
     )(img_bhw, p)
 
 
+def explicit_loss_dp(
+    true_p: jax.Array,
+    pred_p: jax.Array,
+    mesh: Mesh,
+    render_size: int = 32,
+) -> jax.Array:
+    """Explicit occupancy-MSE with the batch sharded over 'data' and the
+    fused Pallas kernel running batch-locally on each device (same
+    custom-call-partitioning rationale as :func:`implicit_loss_dp`).
+    Gradient flows to ``pred_p`` only (the kernel's contract)."""
+    n_data = mesh.shape["data"]
+    assert pred_p.shape[0] % n_data == 0, (
+        f"batch {pred_p.shape[0]} must divide the data axis {n_data}")
+
+    def local(t_l, p_l):
+        from sqtpu.ops.kernels import explicit_loss_auto
+        loss_l = explicit_loss_auto(t_l, p_l, render_size)
+        return jax.lax.pmean(loss_l, "data")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )(true_p, pred_p)
+
+
 def make_batch_dp(
     key: jax.Array,
     batch: int,

@@ -55,6 +55,24 @@ def _elong_weights(cfg: TrainConfig, labels):
     return w / jnp.mean(w)
 
 
+def _explicit_geo(cfg: TrainConfig, pred, labels, mesh=None):
+    """Explicit occupancy-MSE geometry term, routed to the fused Pallas
+    kernel when available (use_pallas; gradient w.r.t. pred only — the
+    labels are constants here). Mirrors the implicit loss's routing:
+    DP meshes wrap the kernel batch-locally via shard_map."""
+    if cfg.use_pallas:
+        from sqtpu.ops.kernels import explicit_loss_auto, pallas_available
+        if (mesh is not None and mesh.shape.get("data", 1) > 1
+                and pallas_available()):
+            from sqtpu.parallel.sharded_losses import explicit_loss_dp
+            return explicit_loss_dp(labels[..., :12], pred[..., :12],
+                                    mesh, cfg.render_size)
+        return explicit_loss_auto(labels[..., :12], pred[..., :12],
+                                  cfg.render_size)
+    return losses.explicit_loss(labels[..., :12], pred[..., :12],
+                                cfg.render_size)
+
+
 def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
     """Loss selection (reference's commented-out alternatives,
     ``torch/train.py:62-64``, promoted to config)."""
@@ -84,7 +102,7 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
             imgs[..., 0], pred, cfg.render_size, cfg.tau,
             cfg.sigmoid_sharpness)
     if cfg.loss == "explicit":
-        return losses.explicit_loss(labels, pred, cfg.render_size)
+        return _explicit_geo(cfg, pred, labels, mesh)
     if cfg.loss == "leastsquares":
         return losses.least_squares_loss(imgs[..., 0], pred, cfg.render_size)
     if cfg.loss == "param_mse":
@@ -186,7 +204,7 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # free min-over-8 of explicit_gauge, under which the net converged
         # to a consistent ANTI-canonical convention (100% a1 < a2,
         # measured round 3) since any consistent gauge is a fixed point.
-        expl = losses.explicit_loss(labels, pred, cfg.render_size)
+        expl = _explicit_geo(cfg, pred, labels, mesh)
         per = (losses.param_mse(pred[..., :8], labels[..., :8],
                                 reduce=False)
                + losses.quaternion_loss_sym(pred[..., 8:12],
@@ -201,7 +219,7 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # decomposition anchor that canonicalizes WHICH of the 8
         # equivalent decompositions the net outputs (high rot-IoU/low
         # gauge-angle without disturbing the geometry)
-        expl = losses.explicit_loss(labels, pred, cfg.render_size)
+        expl = _explicit_geo(cfg, pred, labels, mesh)
         per = losses.param_gauge_loss(pred[..., :12], labels, reduce=False)
         w = _elong_weights(cfg, labels)
         return expl + cfg.gauge_weight * jnp.mean(

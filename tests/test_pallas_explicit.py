@@ -1,0 +1,150 @@
+"""Fused Pallas explicit-loss kernel vs the XLA reference path.
+
+Runs in interpreter mode on CPU (SQTPU_PALLAS_INTERPRET forced here);
+the same comparisons run compiled on real TPU hardware by the training
+probes / bench.
+"""
+
+import os
+
+os.environ["SQTPU_PALLAS_INTERPRET"] = "1"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqtpu.ops import losses
+from sqtpu.ops import quaternion as quat
+
+
+@pytest.fixture(scope="module")
+def batch():
+    key = jax.random.PRNGKey(31)
+    ka, ke, kt, kq, kp = jax.random.split(key, 5)
+    b = 4
+    p = jnp.concatenate([
+        jax.random.uniform(ka, (b, 3), jnp.float32, 25 / 255, 75 / 255),
+        jax.random.uniform(ke, (b, 2), jnp.float32, 0.1, 1.0),
+        jax.random.uniform(kt, (b, 3), jnp.float32, 88 / 255, 168 / 255),
+        quat.random_uniform(kq, (b,), jnp.float32),
+    ], axis=-1)
+    pred = p + 0.02 * jax.random.normal(kp, p.shape, jnp.float32)
+    return p, pred
+
+
+@pytest.mark.parametrize("n", [16, 32])  # 17², 33² — NOT lane-aligned
+def test_forward_matches_xla(batch, n):
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    ref = float(losses.explicit_loss(true_p, pred, n))
+    got = float(explicit_loss_pallas(true_p, pred, n))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_forward_per_sample(batch):
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    ref = np.asarray(losses.explicit_loss(true_p, pred, 16, reduce=False))
+    got = np.asarray(explicit_loss_pallas(true_p, pred, 16, reduce=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_gradient_matches_xla(batch):
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    g_ref = np.asarray(jax.grad(
+        lambda pp: losses.explicit_loss(true_p, pp, 16))(pred))
+    g_pal = np.asarray(jax.grad(
+        lambda pp: explicit_loss_pallas(true_p, pp, 16))(pred))
+    # fp32 recompute noise; all 12 parameter channels must agree
+    np.testing.assert_allclose(g_pal, g_ref, rtol=5e-3, atol=1e-6)
+
+
+def test_gradient_respects_clamp(batch):
+    """Clamped-out parameters must get zero gradient (clip vjp
+    semantics), exactly like the XLA path."""
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    pred = pred.at[0, 0].set(1.5)   # a1 above clamp max
+    pred = pred.at[1, 3].set(0.05)  # e1 below clamp min
+    g = np.asarray(jax.grad(
+        lambda pp: explicit_loss_pallas(true_p, pp, 16))(pred))
+    assert g[0, 0] == 0.0
+    assert g[1, 3] == 0.0
+
+
+def test_true_side_gradient_contract(batch):
+    """The kernel's documented contract: d/d true_p is exactly zero
+    (labels are constants in every training consumer)."""
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    g = np.asarray(jax.grad(
+        lambda tp: explicit_loss_pallas(tp, pred, 16))(true_p))
+    assert (g == 0.0).all()
+
+
+def test_dispatcher_on_cpu_uses_xla(batch, monkeypatch):
+    from sqtpu.ops.kernels import explicit_loss_auto, pallas_available
+
+    true_p, pred = batch
+    ref = float(losses.explicit_loss(true_p, pred, 16))
+    assert pallas_available()  # interpret mode, set at module import
+    got = float(explicit_loss_auto(true_p, pred, 16))
+    assert got == pytest.approx(ref, rel=1e-5)
+    monkeypatch.delenv("SQTPU_PALLAS_INTERPRET")
+    assert not pallas_available()
+    got = float(explicit_loss_auto(true_p, pred, 16))
+    assert got == pytest.approx(ref, rel=1e-6)
+
+
+def test_loop_explicit_sym_routes_through_kernel(batch):
+    """_compute_loss('explicit_sym') with use_pallas must equal the pure
+    XLA path (value and pred-gradient) — the flagship recipe's loss."""
+    from sqtpu.training.loop import _compute_loss
+    from sqtpu.utils.config import TrainConfig
+
+    true_p, pred = batch
+    cfg_k = TrainConfig(loss="explicit_sym", render_size=16,
+                        gauge_weight=2.0, use_pallas=True)
+    cfg_x = TrainConfig(loss="explicit_sym", render_size=16,
+                        gauge_weight=2.0, use_pallas=False)
+
+    def loss_fn(cfg):
+        return lambda pp: _compute_loss(cfg, pp, None, true_p)
+
+    v_k = float(loss_fn(cfg_k)(pred))
+    v_x = float(loss_fn(cfg_x)(pred))
+    assert v_k == pytest.approx(v_x, rel=1e-5)
+    g_k = np.asarray(jax.grad(loss_fn(cfg_k))(pred))
+    g_x = np.asarray(jax.grad(loss_fn(cfg_x))(pred))
+    np.testing.assert_allclose(g_k, g_x, rtol=5e-3, atol=1e-6)
+
+
+def test_dp_shard_map_matches_unsharded(batch):
+    """DP×Pallas composition: value/grad identical to the single-device
+    kernel on the virtual 8-device mesh."""
+    from jax.sharding import Mesh
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+    from sqtpu.parallel.sharded_losses import explicit_loss_dp
+
+    true_p, pred = batch
+    # 8 samples so the batch divides the 8-device mesh
+    tp8 = jnp.concatenate([true_p, true_p])
+    pp8 = jnp.concatenate([pred, pred])
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+
+    ref = float(explicit_loss_pallas(tp8, pp8, 16))
+    got = float(explicit_loss_dp(tp8, pp8, mesh, 16))
+    assert got == pytest.approx(ref, rel=1e-6)
+
+    g_ref = np.asarray(jax.grad(
+        lambda pp: explicit_loss_pallas(tp8, pp, 16))(pp8))
+    g_got = np.asarray(jax.grad(
+        lambda pp: explicit_loss_dp(tp8, pp, mesh, 16))(pp8))
+    np.testing.assert_allclose(g_got, g_ref, rtol=1e-5, atol=1e-7)
