@@ -110,6 +110,25 @@ def main():
     dt_online = timer.stop(loss)
     online_per_chip = BATCH * ITERS / dt_online / n_chips
 
+    # ---- the flagship RECIPE's step: explicit_sym @96³ supervision
+    # (fused Pallas explicit kernel; fp32 model, matching the shipping
+    # training configs) — the number behind the staged-recipe wall-clock
+    cfg_ex = TrainConfig(batch_size=BATCH, render_size=96,
+                         loss="explicit_sym", gauge_weight=2.0,
+                         dtype="float32")
+    model_ex = ResNetSQ()
+    state_ex = create_train_state(model_ex, jax.random.PRNGKey(3), cfg_ex)
+    step_ex = make_train_step(model_ex, cfg_ex, mesh)
+    state_ex, loss_ex = step_ex(state_ex, imgs, labels)   # compile
+    _ = float(loss_ex)
+    state_ex, loss_ex = step_ex(state_ex, imgs, labels)
+    _ = float(loss_ex)
+    timer.start()
+    for _ in range(ITERS):
+        state_ex, loss_ex = step_ex(state_ex, imgs, labels)
+    dt_ex = timer.stop(loss_ex)
+    explicit_per_chip = BATCH * ITERS / dt_ex / n_chips
+
     # ---- data generation alone (fused Pallas hard-render kernel)
     @jax.jit
     def gen_only(k):
@@ -136,6 +155,8 @@ def main():
             "final_loss": float(loss),
             "online_imgs_per_sec_per_chip": round(online_per_chip, 2),
             "online_note": "in-graph data gen (hard ray-cast render) + train step",
+            "explicit96_imgs_per_sec_per_chip": round(explicit_per_chip, 2),
+            "explicit96_note": "flagship recipe step (explicit_sym @96^3, fused Pallas explicit kernel, fp32)",
             "datagen_imgs_per_sec_per_chip": round(gen_per_chip, 2),
         },
     }))
