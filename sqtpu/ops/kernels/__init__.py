@@ -43,18 +43,26 @@ def implicit_loss_auto(img, pred_p, render_size=64, tau=1.5,
     return losses.implicit_loss(img, pred_p, render_size, tau, sharpness)
 
 
-def explicit_loss_auto(true_p, pred_p, render_size=32, reduce=True):
+def explicit_loss_auto(true_p, pred_p, render_size=32, reduce=True,
+                       z_window=True, sharp=5.0):
     """Explicit occupancy-MSE, fused kernel when available. NOTE the
     kernel's gradient contract: d/d true_p is zero (labels are constants
-    in every training consumer); the XLA path differentiates both sides."""
+    in every training consumer); the XLA path differentiates both sides.
+    ``z_window`` bounds the kernel's z-sweep to the SQs' support windows
+    (~1.35× faster, ≤1e-4 relative value shift; kernels/explicit.py
+    doc) — ignored by the XLA fallback, which always sweeps the full
+    lattice. ``sharp`` is the occupancy sharpness (reference value 5.0,
+    quirk Q2)."""
     if pallas_available() and pred_p.dtype == jax.numpy.float32:
         try:
             from sqtpu.ops.kernels.explicit import explicit_loss_pallas
             return explicit_loss_pallas(true_p, pred_p, render_size,
-                                        reduce=reduce)
+                                        reduce=reduce, z_window=z_window,
+                                        sharp=sharp)
         except ImportError:
             pass
-    return losses.explicit_loss(true_p, pred_p, render_size, reduce=reduce)
+    return losses.explicit_loss(true_p, pred_p, render_size, reduce=reduce,
+                                sharp=sharp)
 
 
 def render_hard_auto(p_batch, image_size=256, n_sweep=48, n_bisect=12,

@@ -23,6 +23,25 @@ Gradient contract: the TRUE side gets NO gradient (the wrapper applies
 ``stop_gradient``) — labels are constants in every consumer (training
 losses, ``fit.gd_fit``'s fixed target, eval). Consumers needing d/d true
 must use :func:`sqtpu.ops.losses.explicit_loss` (XLA autodiff).
+
+Bounded z-sweep (``z_window=True``, the default): far from both SQs the
+two occupancies are saturated near-constants, so lattice planes outside
+the union of the two SQs' z-support boxes (h = Σᵢ|rotᵢ₂|·aᵢ around t_z —
+the same window :func:`sqtpu.ops.geometry.z_support_window` gives the
+hard renderer, kernels/hardrender.py:147-149) plus a ``z_margin`` are
+skipped. Evaluated planes stay EXACTLY on the reference lattice j/N, so
+the windowed loss is the full loss minus the skipped planes' tiny tail
+contributions (measured ≤3e-5 relative value / ≤5e-4 abs gradient at
+the default margin). Windowed runs use ONE SAMPLE PER PROGRAM
+(tile_b=1): the dynamic ``fori_loop(j_lo, j_hi+1)`` bounds ARE the
+sample's window — no in-loop masks, no cross-sample window unions, and
+(N+1)-independent VMEM (measured: masking planes at tile_b>1 pushed
+n≥128 over the 16 MB scoped-VMEM cliff into spills). Windows are
+piecewise-constant in the params, so their a.e.-gradient is zero —
+they are computed under ``stop_gradient``. Exact full-sweep parity with
+:func:`sqtpu.ops.losses.explicit_loss` is available via
+``z_window=False`` (used by the golden-parity tests), which keeps the
+multi-sample tiling.
 """
 
 from __future__ import annotations
@@ -34,12 +53,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sqtpu.ops import geometry
+from sqtpu.ops import quaternion as quat
 from sqtpu.ops.kernels.implicit import (
     LANES, N_PAR, _field_terms, _frame_grad_step, _frame_params,
     _interpret, _max_batch, _occ, _param_planes,
 )
 
 SHARP = 5.0  # explicit occupancy sharpness (classes.py:187, quirk Q2)
+Z_MARGIN = 0.08  # default window margin in normalized z units
+# param-slot indices (within the (B, 24) SMEM layout) carrying the
+# per-sample window bounds as float lattice indices; slots 17..23 are
+# zero-padding in _frame_params, unread by any kernel math
+SLOT_JLO, SLOT_JHI = 17, 18
 
 
 def _rows(n: int) -> int:
@@ -53,9 +79,11 @@ def _supported(n: int) -> bool:
 
 def _tile_b(batch: int, n: int) -> int:
     """Samples per program: divide the batch AND keep the backward's 17
-    accumulator planes within ~4 MB of VMEM."""
+    accumulator planes within ~3 MB of VMEM (the per-iteration field
+    temporaries scale with the same tile_rows; 4 MB of accumulators put
+    n=160's total scoped stack at 16.5 MB > the 16 MB limit)."""
     rows = _rows(n)
-    budget = 4 * 1024 * 1024
+    budget = 3 * 1024 * 1024
     for t in (8, 4, 2):
         if batch % t == 0 and N_PAR * t * rows * LANES * 4 <= budget:
             return t
@@ -85,34 +113,49 @@ def _zval(j, n: int):
     return jnp.where(j == 0, jnp.float32(1e-4), j.astype(jnp.float32) * inv)
 
 
+def _tile_bounds(par_ref, prog, tile_b: int):
+    """Union z-lattice bounds [lo, hi] over the program's tile. Windowed
+    runs use tile_b=1, so the union IS the sample's own window and the
+    swept planes need no further masking; full-sweep runs carry [0, n]
+    in every sample's slots, so the union is [0, n] for any tiling."""
+    lo = par_ref[prog * tile_b, SLOT_JLO]
+    hi = par_ref[prog * tile_b, SLOT_JHI]
+    for k in range(1, tile_b):
+        lo = jnp.minimum(lo, par_ref[prog * tile_b + k, SLOT_JLO])
+        hi = jnp.maximum(hi, par_ref[prog * tile_b + k, SLOT_JHI])
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n: int, tile_b: int, par_t_ref, par_p_ref, out_ref):
+def _fwd_kernel(n: int, tile_b: int, sharp: float, par_t_ref, par_p_ref,
+                out_ref):
     rows = _rows(n)
     prog = pl.program_id(0)
     tile_rows = tile_b * rows
     X, Y, valid = _plane_coords(n, tile_rows, rows)
     pp_t = _param_planes(par_t_ref, prog, tile_b, rows)
     pp_p = _param_planes(par_p_ref, prog, tile_b, rows)
+    lo, hi = _tile_bounds(par_p_ref, prog, tile_b)
 
     def body(j, acc):
         z = _zval(j, n)
-        occ_t = _occ(_field_terms(pp_t, X, Y, z)["F"], SHARP)
-        occ_p = _occ(_field_terms(pp_p, X, Y, z)["F"], SHARP)
+        occ_t = _occ(_field_terms(pp_t, X, Y, z)["F"], sharp)
+        occ_p = _occ(_field_terms(pp_p, X, Y, z)["F"], sharp)
         d = (occ_t - occ_p) * valid
         return acc + d * d
 
     zero = jnp.zeros((tile_rows, LANES), jnp.float32)
-    acc = jax.lax.fori_loop(0, n + 1, body, zero)
+    acc = jax.lax.fori_loop(lo, hi + 1, body, zero)
     for k in range(tile_b):
         out_ref[prog * tile_b + k, 0] = jnp.sum(
             acc[k * rows:(k + 1) * rows])
 
 
-def _bwd_kernel(n: int, tile_b: int, par_t_ref, par_p_ref, g_ref,
-                dpar_ref, acc_scr):
+def _bwd_kernel(n: int, tile_b: int, sharp: float, par_t_ref, par_p_ref,
+                g_ref, dpar_ref, acc_scr):
     rows = _rows(n)
     prog = pl.program_id(0)
     tile_rows = tile_b * rows
@@ -128,19 +171,20 @@ def _bwd_kernel(n: int, tile_b: int, par_t_ref, par_p_ref, g_ref,
         g = jnp.where(sample == k, g_ref[prog * tile_b + k], g)
 
     acc_scr[:] = jnp.zeros((N_PAR, tile_rows, LANES), jnp.float32)
+    lo, hi = _tile_bounds(par_p_ref, prog, tile_b)
 
     def body(j, carry):
         z = _zval(j, n)
-        occ_t = _occ(_field_terms(pp_t, X, Y, z)["F"], SHARP)
+        occ_t = _occ(_field_terms(pp_t, X, Y, z)["F"], sharp)
         T = _field_terms(pp_p, X, Y, z)
-        occ_p = _occ(T["F"], SHARP)
+        occ_p = _occ(T["F"], sharp)
         # d (occ_t - occ_p)² / dF_p = 2(occ_t-occ_p)·sharp·occ_p(1-occ_p)
-        gF = g * valid * 2.0 * (occ_t - occ_p) * SHARP \
+        gF = g * valid * 2.0 * (occ_t - occ_p) * sharp \
             * occ_p * (1.0 - occ_p)
         _frame_grad_step(acc_scr, T, gF, pp_p, X, Y, z)
         return carry
 
-    jax.lax.fori_loop(0, n + 1, body, 0)
+    jax.lax.fori_loop(lo, hi + 1, body, 0)
 
     for k in range(tile_b):
         for i in range(N_PAR):
@@ -154,9 +198,8 @@ def _bwd_kernel(n: int, tile_b: int, par_t_ref, par_p_ref, g_ref,
 # pallas_call wrappers + custom_vjp
 # ---------------------------------------------------------------------------
 
-def _fwd_call(par_t, par_p, n: int):
+def _fwd_call(par_t, par_p, n: int, tile_b: int, sharp: float):
     b = par_p.shape[0]
-    tile_b = _tile_b(b, n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # par_t, par_p (B, 24) ride SMEM
         grid=(b // tile_b,),
@@ -164,16 +207,15 @@ def _fwd_call(par_t, par_p, n: int):
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1)
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n, tile_b),
+        functools.partial(_fwd_kernel, n, tile_b, sharp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         interpret=_interpret(),
     )(par_t, par_p)[:, 0]
 
 
-def _bwd_call(par_t, par_p, g, n: int):
+def _bwd_call(par_t, par_p, g, n: int, tile_b: int, sharp: float):
     b = par_p.shape[0]
-    tile_b = _tile_b(b, n)
     rows = _rows(n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # par_t, par_p (B, 24), upstream g (B,)
@@ -185,25 +227,25 @@ def _bwd_call(par_t, par_p, g, n: int):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n, tile_b),
+        functools.partial(_bwd_kernel, n, tile_b, sharp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 24), jnp.float32),
         interpret=_interpret(),
     )(par_t, par_p, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _core(par_t, par_p, n):
-    return _fwd_call(par_t, par_p, n)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _core(par_t, par_p, n, tile_b, sharp):
+    return _fwd_call(par_t, par_p, n, tile_b, sharp)
 
 
-def _core_fwd(par_t, par_p, n):
-    return _fwd_call(par_t, par_p, n), (par_t, par_p)
+def _core_fwd(par_t, par_p, n, tile_b, sharp):
+    return _fwd_call(par_t, par_p, n, tile_b, sharp), (par_t, par_p)
 
 
-def _core_bwd(n, res, g):
+def _core_bwd(n, tile_b, sharp, res, g):
     par_t, par_p = res
-    dpar = _bwd_call(par_t, par_p, g, n)
+    dpar = _bwd_call(par_t, par_p, g, n, tile_b, sharp)
     # the true side is stop_gradient'ed by the wrapper (see module doc)
     return jnp.zeros_like(par_t), dpar
 
@@ -211,29 +253,77 @@ def _core_bwd(n, res, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+def z_window_indices(true_p: jax.Array, pred_p: jax.Array, n: int,
+                     margin: float = Z_MARGIN):
+    """Per-sample lattice window [j_lo, j_hi] covering the union of the
+    two (clamped) SQs' z-support boxes ± ``margin``, as float32 indices.
+    Piecewise-constant in the params → computed under stop_gradient."""
+    def win(p):
+        pp = geometry.clamp_params(p.astype(jnp.float32))
+        a, e, t, q = geometry.split_params(pp)
+        rot = quat.to_matrix(quat.conjugate(q))
+        zlo, zhi, _ = geometry.z_support_window(a, rot, t, 2)
+        return zlo, zhi
+
+    lo_t, hi_t = win(true_p)
+    lo_p, hi_p = win(pred_p)
+    zlo = jnp.clip(jnp.minimum(lo_t, lo_p) - margin, 0.0, 1.0)
+    zhi = jnp.clip(jnp.maximum(hi_t, hi_p) + margin, 0.0, 1.0)
+    jlo = jnp.ceil(zlo * n)
+    jhi = jnp.maximum(jnp.floor(zhi * n), jlo)
+    return (jax.lax.stop_gradient(jlo.astype(jnp.float32)),
+            jax.lax.stop_gradient(jhi.astype(jnp.float32)))
+
+
 def explicit_loss_pallas(
     true_p: jax.Array,
     pred_p: jax.Array,
     render_size: int = 32,
     reduce: bool = True,
+    z_window: bool = True,
+    z_margin: float | None = None,
+    sharp: float = SHARP,
 ) -> jax.Array:
     """Drop-in fused replacement for
     :func:`sqtpu.ops.losses.explicit_loss` (fp32; gradient w.r.t.
-    ``pred_p`` only — ``true_p`` is stop_gradient'ed)."""
+    ``pred_p`` only — ``true_p`` is stop_gradient'ed).
+
+    ``z_window=True`` (default) bounds each sample's z-sweep to the
+    union of its two SQs' support windows ± ``z_margin`` (module
+    docstring) — skips the saturated tails, value within ~3e-5 relative
+    of the full sweep; ``z_window=False`` sweeps all (N+1) planes for
+    exact XLA parity. ``z_margin=None`` scales the default margin
+    inversely with ``sharp`` (the skipped tails decay like
+    exp(−sharp·(F−1)), so sharper occupancies need less margin).
+    ``sharp`` is the occupancy sharpness (reference value 5.0,
+    quirk Q2; see :func:`sqtpu.ops.losses.occupancy_explicit`)."""
     n = render_size
     if not _supported(n):
         from sqtpu.ops import losses
-        return losses.explicit_loss(true_p, pred_p, n, reduce=reduce)
+        return losses.explicit_loss(true_p, pred_p, n, reduce=reduce,
+                                    sharp=sharp)
+    sharp = float(sharp)
+    if z_margin is None:
+        z_margin = max(Z_MARGIN * SHARP / sharp, 0.02)
 
     par_t = _frame_params(jax.lax.stop_gradient(true_p))
     par_p = _frame_params(pred_p)
 
+    if z_window:
+        jlo, jhi = z_window_indices(true_p, pred_p, n, z_margin)
+        par_p = par_p.at[:, SLOT_JLO].set(jlo).at[:, SLOT_JHI].set(jhi)
+        tiling = lambda nb: 1  # per-sample: loop bounds ARE the window
+    else:
+        par_p = par_p.at[:, SLOT_JHI].set(float(n))  # [0, n]: full sweep
+        tiling = lambda nb: _tile_b(nb, n)
+
     b, mb = par_p.shape[0], _max_batch()
     if b > mb:
         sums = jnp.concatenate([
-            _core(par_t[i:i + mb], par_p[i:i + mb], n)
+            _core(par_t[i:i + mb], par_p[i:i + mb], n,
+                  tiling(min(mb, b - i)), sharp)
             for i in range(0, b, mb)])
     else:
-        sums = _core(par_t, par_p, n)
+        sums = _core(par_t, par_p, n, tiling(b), sharp)
     per_sample = sums * (100.0 / (n + 1) ** 3)  # mean over (N+1)³ ×100
     return jnp.mean(per_sample) if reduce else per_sample

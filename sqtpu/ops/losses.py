@@ -46,17 +46,22 @@ def _as_bhw(img: jax.Array) -> jax.Array:
 # Explicit (occupancy MSE)
 # ---------------------------------------------------------------------------
 
-def occupancy_explicit(p: jax.Array, render_size: int) -> jax.Array:
-    """sigmoid(5·(1−F)) on the (N+1)³ explicit grid, params clamped.
+def occupancy_explicit(p: jax.Array, render_size: int,
+                       sharp: float = 5.0) -> jax.Array:
+    """sigmoid(sharp·(1−F)) on the (N+1)³ explicit grid, params clamped.
 
-    Batched equivalent of ``ExplicitLoss.occupancy`` (``classes.py:138-189``).
+    Batched equivalent of ``ExplicitLoss.occupancy`` (``classes.py:138-189``;
+    the reference hardcodes sharp=5, quirk Q2 — kept as the default.
+    Higher values localize the surface more tightly: at sharp=5 the
+    occupancy transition spans ~10 voxels of a 128³ grid, so fine grids
+    add little until the sigmoid sharpens with them).
     """
     ax = geometry.make_axis(render_size, "explicit", dtype=p.dtype)
 
     def one(pi):
         pp = geometry.clamp_params(pi)
         f = geometry.field_grid(ax, ax, ax, pp, guard=True)
-        return jax.nn.sigmoid(5.0 * (1.0 - f))
+        return jax.nn.sigmoid(sharp * (1.0 - f))
 
     return jax.vmap(one)(p)
 
@@ -64,12 +69,12 @@ def occupancy_explicit(p: jax.Array, render_size: int) -> jax.Array:
 @partial(jax.jit, static_argnames=("render_size", "reduce"))
 def explicit_loss(
     true_p: jax.Array, pred_p: jax.Array, render_size: int = 32,
-    reduce: bool = True,
+    reduce: bool = True, sharp: float = 5.0,
 ) -> jax.Array:
     """Occupancy-grid MSE ×100 (``classes.py:191-201``; the ×100 is the
     reference's gradient-scale quirk Q3, kept for parity)."""
-    occ_t = occupancy_explicit(true_p, render_size)
-    occ_p = occupancy_explicit(pred_p, render_size)
+    occ_t = occupancy_explicit(true_p, render_size, sharp)
+    occ_p = occupancy_explicit(pred_p, render_size, sharp)
     per_sample = jnp.mean((occ_t - occ_p) ** 2, axis=(1, 2, 3)) * 100.0
     return jnp.mean(per_sample) if reduce else per_sample
 

@@ -69,6 +69,7 @@ def explicit_loss_dp(
     pred_p: jax.Array,
     mesh: Mesh,
     render_size: int = 32,
+    sharp: float = 5.0,
 ) -> jax.Array:
     """Explicit occupancy-MSE with the batch sharded over 'data' and the
     fused Pallas kernel running batch-locally on each device (same
@@ -80,7 +81,7 @@ def explicit_loss_dp(
 
     def local(t_l, p_l):
         from sqtpu.ops.kernels import explicit_loss_auto
-        loss_l = explicit_loss_auto(t_l, p_l, render_size)
+        loss_l = explicit_loss_auto(t_l, p_l, render_size, sharp=sharp)
         return jax.lax.pmean(loss_l, "data")
 
     return jax.shard_map(

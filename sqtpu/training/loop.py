@@ -66,11 +66,13 @@ def _explicit_geo(cfg: TrainConfig, pred, labels, mesh=None):
                 and pallas_available()):
             from sqtpu.parallel.sharded_losses import explicit_loss_dp
             return explicit_loss_dp(labels[..., :12], pred[..., :12],
-                                    mesh, cfg.render_size)
+                                    mesh, cfg.render_size,
+                                    sharp=cfg.explicit_sharp)
         return explicit_loss_auto(labels[..., :12], pred[..., :12],
-                                  cfg.render_size)
+                                  cfg.render_size,
+                                  sharp=cfg.explicit_sharp)
     return losses.explicit_loss(labels[..., :12], pred[..., :12],
-                                cfg.render_size)
+                                cfg.render_size, sharp=cfg.explicit_sharp)
 
 
 def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):

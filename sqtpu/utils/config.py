@@ -37,6 +37,10 @@ class TrainConfig:
     render_size: int = 64
     tau: float = 1.5
     sigmoid_sharpness: float = 260.0
+    explicit_sharp: float = 5.0       # explicit-occupancy sharpness
+    # (reference value 5, quirk Q2; at 5 the occupancy transition spans
+    # ~10 voxels of a 128³ grid — raise it with the grid so fine grids
+    # actually sharpen the supervision: "sharpness annealing")
     acc_render_size: int = 64         # IoU validation metric grid
 
     # optimization (train.py:40, 51-52)

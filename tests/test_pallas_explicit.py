@@ -17,6 +17,8 @@ import pytest
 from sqtpu.ops import losses
 from sqtpu.ops import quaternion as quat
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def batch():
@@ -39,8 +41,12 @@ def test_forward_matches_xla(batch, n):
 
     true_p, pred = batch
     ref = float(losses.explicit_loss(true_p, pred, n))
-    got = float(explicit_loss_pallas(true_p, pred, n))
+    # full sweep: exact XLA parity
+    got = float(explicit_loss_pallas(true_p, pred, n, z_window=False))
     assert got == pytest.approx(ref, rel=1e-5)
+    # windowed sweep (the default): skipped saturated-tail planes only
+    win = float(explicit_loss_pallas(true_p, pred, n))
+    assert win == pytest.approx(ref, rel=1e-3)
 
 
 def test_forward_per_sample(batch):
@@ -48,20 +54,42 @@ def test_forward_per_sample(batch):
 
     true_p, pred = batch
     ref = np.asarray(losses.explicit_loss(true_p, pred, 16, reduce=False))
-    got = np.asarray(explicit_loss_pallas(true_p, pred, 16, reduce=False))
+    got = np.asarray(explicit_loss_pallas(true_p, pred, 16, reduce=False,
+                                          z_window=False))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+    win = np.asarray(explicit_loss_pallas(true_p, pred, 16, reduce=False))
+    np.testing.assert_allclose(win, ref, rtol=1e-3)
 
 
-def test_gradient_matches_xla(batch):
+def test_windowed_batch_order_invariance(batch):
+    """Windowed runs are one sample per program, so per-sample values
+    must be independent of the batch order (regression guard for any
+    future cross-sample tiling of the windowed path)."""
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    fwd = np.asarray(explicit_loss_pallas(true_p, pred, 16, reduce=False))
+    perm = np.array([2, 0, 3, 1])
+    shuf = np.asarray(explicit_loss_pallas(
+        true_p[perm], pred[perm], 16, reduce=False))
+    np.testing.assert_allclose(shuf, fwd[perm], rtol=1e-6)
+
+
+@pytest.mark.parametrize("z_window", [False, True])
+def test_gradient_matches_xla(batch, z_window):
     from sqtpu.ops.kernels.explicit import explicit_loss_pallas
 
     true_p, pred = batch
     g_ref = np.asarray(jax.grad(
         lambda pp: losses.explicit_loss(true_p, pp, 16))(pred))
     g_pal = np.asarray(jax.grad(
-        lambda pp: explicit_loss_pallas(true_p, pp, 16))(pred))
-    # fp32 recompute noise; all 12 parameter channels must agree
-    np.testing.assert_allclose(g_pal, g_ref, rtol=5e-3, atol=1e-6)
+        lambda pp: explicit_loss_pallas(true_p, pp, 16,
+                                        z_window=z_window))(pred))
+    # fp32 recompute noise; all 12 parameter channels must agree.
+    # Windowed: skipped planes' grad contributions are sigmoid tails
+    # (measured 2.5e-4 max abs at the default 0.08 margin, n=16).
+    atol = 5e-4 if z_window else 1e-6
+    np.testing.assert_allclose(g_pal, g_ref, rtol=5e-3, atol=atol)
 
 
 def test_gradient_respects_clamp(batch):
@@ -96,6 +124,8 @@ def test_dispatcher_on_cpu_uses_xla(batch, monkeypatch):
     ref = float(losses.explicit_loss(true_p, pred, 16))
     assert pallas_available()  # interpret mode, set at module import
     got = float(explicit_loss_auto(true_p, pred, 16))
+    assert got == pytest.approx(ref, rel=1e-3)  # windowed default
+    got = float(explicit_loss_auto(true_p, pred, 16, z_window=False))
     assert got == pytest.approx(ref, rel=1e-5)
     monkeypatch.delenv("SQTPU_PALLAS_INTERPRET")
     assert not pallas_available()
@@ -120,10 +150,10 @@ def test_loop_explicit_sym_routes_through_kernel(batch):
 
     v_k = float(loss_fn(cfg_k)(pred))
     v_x = float(loss_fn(cfg_x)(pred))
-    assert v_k == pytest.approx(v_x, rel=1e-5)
+    assert v_k == pytest.approx(v_x, rel=1e-3)  # windowed kernel default
     g_k = np.asarray(jax.grad(loss_fn(cfg_k))(pred))
     g_x = np.asarray(jax.grad(loss_fn(cfg_x))(pred))
-    np.testing.assert_allclose(g_k, g_x, rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(g_k, g_x, rtol=5e-3, atol=1e-5)
 
 
 def test_dp_shard_map_matches_unsharded(batch):
@@ -148,3 +178,26 @@ def test_dp_shard_map_matches_unsharded(batch):
     g_got = np.asarray(jax.grad(
         lambda pp: explicit_loss_dp(tp8, pp, mesh, 16))(pp8))
     np.testing.assert_allclose(g_got, g_ref, rtol=1e-5, atol=1e-7)
+
+
+def test_sharp_parameter_matches_xla(batch):
+    """Configurable occupancy sharpness (sharpness annealing, round-4):
+    kernel and XLA paths must agree at non-reference sharp values, and
+    sharp must actually change the loss."""
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    for sharp in (10.0, 20.0):
+        ref = float(losses.explicit_loss(true_p, pred, 16, sharp=sharp))
+        got = float(explicit_loss_pallas(true_p, pred, 16, sharp=sharp,
+                                         z_window=False))
+        assert got == pytest.approx(ref, rel=1e-5)
+        win = float(explicit_loss_pallas(true_p, pred, 16, sharp=sharp))
+        assert win == pytest.approx(ref, rel=1e-3)
+        g_ref = np.asarray(jax.grad(lambda pp: losses.explicit_loss(
+            true_p, pp, 16, sharp=sharp))(pred))
+        g_win = np.asarray(jax.grad(lambda pp: explicit_loss_pallas(
+            true_p, pp, 16, sharp=sharp))(pred))
+        np.testing.assert_allclose(g_win, g_ref, rtol=5e-3, atol=5e-4)
+    ref5 = float(losses.explicit_loss(true_p, pred, 16))
+    assert abs(ref - ref5) > 1e-4  # sharp is not a no-op
