@@ -38,6 +38,28 @@ connection feeding a shared queue, and a single batcher thread that
 drains up to ``batch_size`` requests (waiting at most
 ``batch_window_ms`` after the first) and runs them as one padded device
 call — all jax calls happen on the batcher thread only.
+
+Hardening contract:
+
+- The request queue is bounded (``queue_factor * batch_size``); when it
+  is full new predict requests are rejected immediately with
+  ``{"error": "overloaded"}`` instead of growing memory without limit.
+- A batch-level failure (device error, encode error) answers every
+  in-flight request in that batch with an error and the batcher keeps
+  serving; it never dies silently.
+- Sends use a per-connection lock plus an OS send timeout
+  (``send_timeout_s`` via SO_SNDTIMEO): one slow client can stall only
+  its own responses — on timeout its connection is dropped, never the
+  batcher or other clients.
+- Trust model: a UNIX socket is as trusted as its filesystem
+  permissions, so ``{"path": ...}`` requests read any file the daemon
+  user can. Over TCP, ``path`` requests are refused unless
+  ``--path-root DIR`` confines them to a directory subtree (resolved
+  via realpath, symlink-escape safe). Exception details from request
+  handling are logged server-side; clients get sanitized strings.
+- Startup refuses to steal a live server's UNIX socket: an existing
+  socket path is probed with a connect first and only a dead/stale
+  socket is unlinked.
 """
 
 from __future__ import annotations
@@ -47,6 +69,7 @@ import json
 import os
 import queue
 import socket
+import struct
 import threading
 import time
 from dataclasses import dataclass
@@ -76,6 +99,19 @@ class ServeConfig:
     refine_residual: str = "sb"
     input_filter: str = "none"        # none | despeckle | median
     platform: str = ""                # override jax platform (e.g. "cpu")
+    queue_factor: int = 4             # queue bound = factor * batch_size
+    send_timeout_s: float = 10.0      # per-conn SO_SNDTIMEO (0 = none)
+    path_root: str = ""               # confine 'path' requests (TCP: required)
+
+
+class _Conn:
+    """A client connection plus its send lock (sends are serialized per
+    CONNECTION, not globally — a stalled peer blocks only itself)."""
+
+    __slots__ = ("sock", "lock")
+
+    def __init__(self, sock):
+        self.sock, self.lock = sock, threading.Lock()
 
 
 class _Request:
@@ -90,10 +126,11 @@ class SQServer:
 
     def __init__(self, cfg: ServeConfig):
         self.cfg = cfg
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=max(1, cfg.queue_factor) * cfg.batch_size)
         self._stop = threading.Event()
-        self._lock = threading.Lock()  # serializes per-conn sendall
-        self.stats = {"requests": 0, "batches": 0, "errors": 0}
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "overloaded": 0, "batch_failures": 0}
         self._build()
 
     # ---- model -----------------------------------------------------
@@ -134,11 +171,35 @@ class SQServer:
 
     # ---- request decoding -------------------------------------------
 
+    def _resolve_path(self, path: str) -> str:
+        """Apply the trust model for 'path' requests (module docstring):
+        TCP requires --path-root; a configured root confines reads to
+        that subtree (realpath, so symlinks can't escape)."""
+        cfg = self.cfg
+        if not cfg.socket and not cfg.path_root:
+            raise ValueError(
+                "'path' requests are disabled over TCP; send 'b64' "
+                "or start the server with --path-root")
+        real = os.path.realpath(path)
+        if cfg.path_root:
+            root = os.path.realpath(cfg.path_root)
+            if not (real == root or real.startswith(root + os.sep)):
+                raise ValueError("path is outside the configured root")
+        return real
+
     def _decode_image(self, msg: dict) -> np.ndarray:
         s = self.cfg.image_size
         if "path" in msg:
             from sqtpu.data.bmp import read_bmp
-            img = read_bmp(msg["path"]).astype(np.float32) / 255.0
+            path = self._resolve_path(str(msg["path"]))
+            try:
+                img = read_bmp(path).astype(np.float32) / 255.0
+            except Exception as e:
+                # don't echo raw exception internals (paths, errno
+                # strings) back over the wire; log them server-side
+                print(f"sqtpu.serve: read failed for {path!r}: {e}",
+                      flush=True)
+                raise ValueError("could not read image") from None
         elif "b64" in msg:
             raw = np.frombuffer(base64.b64decode(msg["b64"]), np.uint8)
             if raw.size != s * s:
@@ -151,18 +212,24 @@ class SQServer:
             raise ValueError(f"image is {img.shape}, expected {(s, s)}")
         return img
 
-    def _send(self, conn, obj: dict):
+    def _send(self, conn: _Conn, obj: dict):
         data = (json.dumps(obj) + "\n").encode()
-        with self._lock:
+        with conn.lock:
             try:
-                conn.sendall(data)
+                conn.sock.sendall(data)
             except OSError:
-                pass  # client went away; nothing to do
+                # client went away, or SO_SNDTIMEO fired on a stalled
+                # peer: drop the response and the connection — never
+                # stall the caller (possibly the batcher) on one client
+                try:
+                    conn.sock.close()
+                except OSError:
+                    pass
 
     # ---- connection handling ----------------------------------------
 
-    def _serve_conn(self, conn):
-        f = conn.makefile("rb")
+    def _serve_conn(self, conn: _Conn):
+        f = conn.sock.makefile("rb")
         try:
             for line in f:
                 if self._stop.is_set():
@@ -193,22 +260,34 @@ class SQServer:
                         self._send(conn, {"id": msg.get("id"),
                                           "error": str(e)})
                         continue
-                    self._queue.put(_Request(conn, msg.get("id"), img,
-                                             time.perf_counter()))
+                    req = _Request(conn, msg.get("id"), img,
+                                   time.perf_counter())
+                    try:
+                        self._queue.put_nowait(req)
+                    except queue.Full:  # backpressure: reject, don't grow
+                        self.stats["overloaded"] += 1
+                        self._send(conn, {"id": msg.get("id"),
+                                          "error": "overloaded"})
         finally:
             f.close()
-            conn.close()
+            conn.sock.close()
 
     def _accept_loop(self, sock):
         sock.settimeout(0.2)
         while not self._stop.is_set():
             try:
-                conn, _ = sock.accept()
+                raw, _ = sock.accept()
             except socket.timeout:
                 continue
             except OSError:
                 break
-            threading.Thread(target=self._serve_conn, args=(conn,),
+            if self.cfg.send_timeout_s > 0:
+                # send timeout only (SO_SNDTIMEO) — reads stay blocking
+                sec = int(self.cfg.send_timeout_s)
+                usec = int((self.cfg.send_timeout_s - sec) * 1e6)
+                raw.setsockopt(socket.SOL_SOCKET, socket.SO_SNDTIMEO,
+                               struct.pack("ll", sec, usec))
+            threading.Thread(target=self._serve_conn, args=(_Conn(raw),),
                              daemon=True).start()
 
     # ---- the batcher (single jax thread) -----------------------------
@@ -230,24 +309,37 @@ class SQServer:
                     reqs.append(self._queue.get(timeout=left))
                 except queue.Empty:
                     break
-            batch = np.zeros(
-                (cfg.batch_size, cfg.image_size, cfg.image_size),
-                np.float32)
-            for i, r in enumerate(reqs):
-                batch[i] = r.img
-            params = self._run(batch)[: len(reqs)]
-            self.stats["batches"] += 1
-            self.stats["requests"] += len(reqs)
-            now = time.perf_counter()
-            for r, p in zip(reqs, params):
-                resp = {"id": r.rid, "params": [float(v) for v in p],
-                        "batch": len(reqs),
-                        "latency_ms": round((now - r.t0) * 1e3, 2)}
-                if cfg.denormalize:
-                    from sqtpu.data.labels import denormalize_torch
-                    resp["denormalized"] = [
-                        float(v) for v in denormalize_torch(p)]
-                self._send(r.conn, resp)
+            # a device/encode failure must answer every in-flight
+            # request and leave the batcher alive — it is the only
+            # thread allowed to touch jax, so its death would hang
+            # every future predict while ping/stats still answer
+            try:
+                batch = np.zeros(
+                    (cfg.batch_size, cfg.image_size, cfg.image_size),
+                    np.float32)
+                for i, r in enumerate(reqs):
+                    batch[i] = r.img
+                params = self._run(batch)[: len(reqs)]
+                self.stats["batches"] += 1
+                self.stats["requests"] += len(reqs)
+                now = time.perf_counter()
+                for r, p in zip(reqs, params):
+                    resp = {"id": r.rid,
+                            "params": [float(v) for v in p],
+                            "batch": len(reqs),
+                            "latency_ms": round((now - r.t0) * 1e3, 2)}
+                    if cfg.denormalize:
+                        from sqtpu.data.labels import denormalize_torch
+                        resp["denormalized"] = [
+                            float(v) for v in denormalize_torch(p)]
+                    self._send(r.conn, resp)
+            except Exception as e:
+                self.stats["batch_failures"] += 1
+                self.stats["errors"] += len(reqs)
+                print(f"sqtpu.serve: batch failed: {e!r}", flush=True)
+                for r in reqs:
+                    self._send(r.conn, {"id": r.rid,
+                                        "error": "inference failed"})
 
     # ---- lifecycle ----------------------------------------------------
 
@@ -255,7 +347,22 @@ class SQServer:
         cfg = self.cfg
         if cfg.socket:
             if os.path.exists(cfg.socket):
-                os.unlink(cfg.socket)
+                # refuse to hijack a LIVE server's address; only a
+                # stale socket (nothing answering) is cleaned up
+                probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                probe.settimeout(1.0)
+                try:
+                    probe.connect(cfg.socket)
+                except OSError:
+                    os.unlink(cfg.socket)  # dead leftover
+                else:
+                    probe.close()
+                    raise SystemExit(
+                        f"sqtpu.serve: a server is already listening on "
+                        f"{cfg.socket}; shut it down or pick another "
+                        f"--socket")
+                finally:
+                    probe.close()
             sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             sock.bind(cfg.socket)
             where = cfg.socket
