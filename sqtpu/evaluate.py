@@ -203,7 +203,17 @@ def eval_random(cfg: EvalConfig):
                                    residual=cfg.refine_residual)
         triple = metrics.iou_full(p_true, p_pred, cfg.acc_render_size)
         mae = jnp.abs(p_pred - p_true)
-        return p_true, p_pred, triple, mae, imgs
+        # raw quat-column MAE is chance-floored by the D4 decomposition
+        # gauge (round-3 VERDICT weak #4): also report MAE against the
+        # gauge-aligned truth, with the aligned quaternion flipped to
+        # the prediction's hemisphere (q and -q are the same rotation)
+        aligned, _ = metrics.gauge_align(p_true, p_pred)
+        qdot = jnp.sum(aligned[..., 8:12] * p_pred[..., 8:12],
+                       axis=-1, keepdims=True)
+        qa = jnp.where(qdot < 0, -aligned[..., 8:12], aligned[..., 8:12])
+        aligned = jnp.concatenate([aligned[..., :8], qa], axis=-1)
+        mae_gauge = jnp.abs(p_pred - aligned)
+        return p_true, p_pred, triple, mae, mae_gauge, imgs
 
     variables = {}
     if state is not None:
@@ -211,7 +221,7 @@ def eval_random(cfg: EvalConfig):
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
 
-    all_triples, all_mae, all_true, all_pred = [], [], [], []
+    all_triples, all_mae, all_mae_g, all_true, all_pred = [], [], [], [], []
     f = open(os.path.join(cfg.out_dir, cfg.results_file), "a")
     n_batches = (cfg.n + cfg.batch_size - 1) // cfg.batch_size
     pairs_saved = 0
@@ -220,13 +230,16 @@ def eval_random(cfg: EvalConfig):
     for b in range(n_batches):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), b)
         t0 = time.perf_counter()
-        p_true, p_pred, triple, mae, imgs = batch_eval(variables, key)
+        p_true, p_pred, triple, mae, mae_g, imgs = batch_eval(variables,
+                                                              key)
         p_true, p_pred = np.asarray(p_true), np.asarray(p_pred)
-        triple, mae = np.asarray(triple), np.asarray(mae)
+        triple, mae, mae_g = (np.asarray(triple), np.asarray(mae),
+                              np.asarray(mae_g))
         if b > 0:  # skip compile step, like the reference (num_img > 0)
             latencies.append((time.perf_counter() - t0) / cfg.batch_size)
         all_triples.append(triple)
         all_mae.append(mae)
+        all_mae_g.append(mae_g)
         all_true.append(p_true)
         all_pred.append(p_pred)
         for i in range(triple.shape[0]):
@@ -278,6 +291,7 @@ def eval_random(cfg: EvalConfig):
 
     triples = np.concatenate(all_triples)[: cfg.n]
     maes = np.concatenate(all_mae)[: cfg.n]
+    maes_g = np.concatenate(all_mae_g)[: cfg.n]
     trues = np.concatenate(all_true)[: cfg.n]
     preds = np.concatenate(all_pred)[: cfg.n]
     rot_iou, full_iou = triples[:, 0], triples[:, 1]
@@ -327,6 +341,9 @@ def eval_random(cfg: EvalConfig):
           f"{100.0 * gauge_swapped.mean():.1f}%")
     print("--Param MAE (12)::")
     print(maes.mean(axis=0))
+    print("--Param MAE vs gauge-aligned truth (12; quat columns "
+          "meaningful)::")
+    print(maes_g.mean(axis=0))
     print("--Rotation metrics by shape asymmetry (quartiles of "
           "min pairwise |a_i - a_j|, normalized units)::")
     print(f"{'quartile':>9} {'asym range':>17} {'angle_sym':>10} "
@@ -347,7 +364,7 @@ def eval_random(cfg: EvalConfig):
              rot_iou=rot_iou, full_iou=full_iou, angle=ang,
              angle_sym=ang_sym, angle_gauge=ang_gauge,
              rot_iou_gauge=rot_iou_gauge, gauge_swapped=gauge_swapped,
-             mae=maes,
+             mae=maes, mae_gauge=maes_g,
              true_params=trues, pred_params=preds,
              asym=asym, elongation=elong,
              # self-describing latency fields (round-2 VERDICT weak #8):
@@ -373,7 +390,8 @@ def eval_random(cfg: EvalConfig):
             "by_asymmetry_quartile": strat,
             "predict_latency_ms": {k: 1e3 * v
                                    for k, v in predict_latency.items()},
-            "param_mae": maes.mean(axis=0).tolist()}
+            "param_mae": maes.mean(axis=0).tolist(),
+            "param_mae_gauge": maes_g.mean(axis=0).tolist()}
 
 
 def main(argv=None):
