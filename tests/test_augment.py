@@ -6,6 +6,10 @@ import numpy as np
 
 from sqtpu.data.augment import depth_noise
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 def _img(batch=2, size=32):
     # synthetic depth map: central square object at depth 0.5

@@ -11,6 +11,8 @@ from sqtpu.data.datasets import DepthDataset, pack_bmp_dir
 from sqtpu.data.labels import parse_csv_torch
 from sqtpu.generate import GenerateConfig, generate
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def bmp_dir(tmp_path_factory):

@@ -9,6 +9,8 @@ from sqtpu.data.bmp import read_bmp
 from sqtpu.data.labels import parse_csv_torch
 from sqtpu.generate import GenerateConfig, generate
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 def test_generate_rot_dataset(tmp_path):
     cfg = GenerateConfig(n=6, out=str(tmp_path / "rot"), batch_size=4,

@@ -15,6 +15,10 @@ from sqtpu.training.loop import make_train_step
 from sqtpu.training.state import create_train_state
 from sqtpu.utils.config import TrainConfig
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 def test_train_step_with_grid_axis():
     cfg = TrainConfig(image_size=32, render_size=16, batch_size=4,

@@ -8,6 +8,8 @@ import pytest
 from sqtpu.training.loop import train
 from sqtpu.utils.config import TrainConfig
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 def test_train_two_epochs_synthetic(tmp_path):
     cfg = TrainConfig(

@@ -9,6 +9,8 @@ from sqtpu.ops import losses
 from sqtpu.ops import quaternion as quat
 from sqtpu.ops.render import render_depth_soft
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture()
 def batch():

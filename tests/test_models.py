@@ -10,6 +10,8 @@ from sqtpu.models import (
     load_torchvision_resnet18,
 )
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def resnet_vars():

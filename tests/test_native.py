@@ -13,6 +13,8 @@ from sqtpu.data.native import (
 
 from conftest import EXAMPLES
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 NATIVE_CLI = os.path.join(os.path.dirname(__file__), "..", "native", "sqscan")
 
 

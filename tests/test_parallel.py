@@ -11,6 +11,8 @@ from sqtpu.ops.render import render_depth_soft
 from sqtpu.parallel.mesh import batch_sharding, make_mesh
 from sqtpu.parallel.sharded_losses import implicit_loss_gridsharded
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def batch():

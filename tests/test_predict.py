@@ -4,8 +4,12 @@ import numpy as np
 
 from sqtpu.data.labels import parse_csv_torch
 from sqtpu.generate import GenerateConfig, generate
+import pytest
+
 from sqtpu.predict import (PredictConfig, list_inputs, predict_files,
                            write_csv)
+
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
 
 
 def _make_inputs(tmp_path, n=5, size=64):

@@ -13,6 +13,8 @@ from sqtpu.ops.render import render_depth_hard, render_depth_soft
 
 from conftest import EXAMPLES, SCANNER
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 def _quat2mat_np(q):
     x, y, z, w = q / np.sqrt(np.square(q).sum())

@@ -11,6 +11,8 @@ from sqtpu.ops import metrics
 from sqtpu.ops.render import render_depth_hard
 from sqtpu.utils.config import EvalConfig, FitConfig
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def true_setup():

@@ -19,6 +19,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from sqtpu.models import ResNetSQ, load_torchvision_resnet18  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 class _BasicBlock(tnn.Module):
     def __init__(self, cin, cout, stride=1):

@@ -12,6 +12,8 @@ from sqtpu.training.state import create_train_state, get_lr, set_lr
 from sqtpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from sqtpu.utils.config import TrainConfig
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 class TestReduceLROnPlateau:
     def test_reduces_after_patience(self):

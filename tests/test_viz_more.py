@@ -7,6 +7,8 @@ import pytest
 
 from sqtpu.ops import quaternion as quat
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def base_p():
