@@ -110,24 +110,49 @@ def main():
     dt_online = timer.stop(loss)
     online_per_chip = BATCH * ITERS / dt_online / n_chips
 
-    # ---- the flagship RECIPE's step: explicit_sym @96³ supervision
-    # (fused Pallas explicit kernel; fp32 model, matching the shipping
-    # training configs) — the number behind the staged-recipe wall-clock
-    cfg_ex = TrainConfig(batch_size=BATCH, render_size=96,
-                         loss="explicit_sym", gauge_weight=2.0,
-                         dtype="float32")
-    model_ex = ResNetSQ()
-    state_ex = create_train_state(model_ex, jax.random.PRNGKey(3), cfg_ex)
-    step_ex = make_train_step(model_ex, cfg_ex, mesh)
-    state_ex, loss_ex = step_ex(state_ex, imgs, labels)   # compile
-    _ = float(loss_ex)
-    state_ex, loss_ex = step_ex(state_ex, imgs, labels)
-    _ = float(loss_ex)
-    timer.start()
-    for _ in range(ITERS):
-        state_ex, loss_ex = step_ex(state_ex, imgs, labels)
-    dt_ex = timer.stop(loss_ex)
-    explicit_per_chip = BATCH * ITERS / dt_ex / n_chips
+    # ---- the flagship RECIPE's steps: explicit_sym supervision (fused
+    # Pallas explicit kernel with the z-windowed sweep; fp32 model,
+    # matching the shipping training configs) — the numbers behind the
+    # staged-recipe wall-clock. 96³ kept for cross-round comparability;
+    # 128³ (+ sharp-annealed) is the current stage-6/7 config.
+    def time_step(cfg_x, batch=None):
+        b = batch or BATCH
+        imgs_x, labels_x = imgs[:b], labels[:b]
+        model_x = ResNetSQ()
+        state_x = create_train_state(model_x, jax.random.PRNGKey(3), cfg_x)
+        step_x = make_train_step(model_x, cfg_x, mesh)
+        state_x, loss_x = step_x(state_x, imgs_x, labels_x)   # compile
+        _ = float(loss_x)
+        state_x, loss_x = step_x(state_x, imgs_x, labels_x)
+        _ = float(loss_x)
+        timer.start()
+        for _ in range(ITERS):
+            state_x, loss_x = step_x(state_x, imgs_x, labels_x)
+        dt_x = timer.stop(loss_x)
+        return b * ITERS / dt_x / n_chips
+
+    explicit_per_chip = time_step(TrainConfig(
+        batch_size=BATCH, render_size=96, loss="explicit_sym",
+        gauge_weight=2.0, dtype="float32"))
+    explicit128_per_chip = time_step(TrainConfig(
+        batch_size=BATCH, render_size=128, loss="explicit_sym",
+        gauge_weight=2.0, dtype="float32"))
+    explicit128_s20_per_chip = time_step(TrainConfig(
+        batch_size=BATCH, render_size=128, loss="explicit_sym",
+        gauge_weight=2.0, explicit_sharp=20.0, dtype="float32"))
+
+    # ---- the SP ("long axis") path's single-chip cost: grid-sharded
+    # implicit supervision drops the fused kernel for the jnp loss
+    # (training/loop.py n_grid>1 branch) — measure that penalty at 128³
+    # where SP would actually be used (round-3 VERDICT weak #9). Small
+    # batch: the jnp backward materializes O(B·N³) intermediates.
+    sp_batch = 64
+    implicit128_pallas = time_step(TrainConfig(
+        batch_size=sp_batch, render_size=128, loss="implicit",
+        use_pallas=True, remat=True, dtype="float32"), batch=sp_batch)
+    implicit128_jnp = time_step(TrainConfig(
+        batch_size=sp_batch, render_size=128, loss="implicit",
+        use_pallas=False, remat=True, dtype="float32"), batch=sp_batch)
 
     # ---- data generation alone (fused Pallas hard-render kernel)
     @jax.jit
@@ -156,7 +181,17 @@ def main():
             "online_imgs_per_sec_per_chip": round(online_per_chip, 2),
             "online_note": "in-graph data gen (hard ray-cast render) + train step",
             "explicit96_imgs_per_sec_per_chip": round(explicit_per_chip, 2),
-            "explicit96_note": "flagship recipe step (explicit_sym @96^3, fused Pallas explicit kernel, fp32)",
+            "explicit96_note": "flagship recipe step (explicit_sym @96^3, z-windowed Pallas explicit kernel, fp32)",
+            "explicit128_imgs_per_sec_per_chip": round(
+                explicit128_per_chip, 2),
+            "explicit128_sharp20_imgs_per_sec_per_chip": round(
+                explicit128_s20_per_chip, 2),
+            "explicit128_note": "stage-6/7 recipe step (explicit_sym @128^3; sharp20 = round-4 annealed stage, tighter z-window)",
+            "sp_implicit128_pallas_imgs_per_sec_per_chip": round(
+                implicit128_pallas, 2),
+            "sp_implicit128_jnp_imgs_per_sec_per_chip": round(
+                implicit128_jnp, 2),
+            "sp_note": "grid-sharded SP drops the fused kernel (loop.py n_grid>1): jnp vs Pallas implicit @128^3 batch 64 = the per-chip penalty SP pays before its axis split",
             "datagen_imgs_per_sec_per_chip": round(gen_per_chip, 2),
         },
     }))
