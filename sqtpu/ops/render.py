@@ -184,3 +184,123 @@ def render_depth_hard(
 
 def render_depth_hard_batch(p: jax.Array, image_size: int = 256, **kw) -> jax.Array:
     return jax.vmap(lambda pi: render_depth_hard(pi, image_size, **kw))(p)
+
+
+# ---------------------------------------------------------------------------
+# General ray–SQ intersection + posed-camera rendering
+# ---------------------------------------------------------------------------
+
+def intersect_ray(
+    origin: jax.Array,
+    direction: jax.Array,
+    p: jax.Array,
+    n_sweep: int = 128,
+    n_bisect: int = 24,
+):
+    """First intersection of a ray with the SQ surface F = 1.
+
+    Equivalent of the scanner binary's ``sq::intersect(hvector,
+    hvector)`` export (SURVEY.md §2.2-N2), which the reference ``main``
+    never calls for anything but −z rays — this generalizes it to
+    arbitrary rays, unlocking posed-camera rendering
+    (:func:`render_depth_view`).
+
+    Method: clip the ray to the SQ's bounding sphere (radius |a| around
+    t; e1,e2 ∈ (0,2] keeps the body inside it), coarse-sweep ``n_sweep``
+    samples for the first inside point (convexity ⇒ the inside set along
+    a ray is an interval), then bisect the outside/inside bracket.
+
+    Returns ``(t_hit, hit)``: ray parameter of the entry point (in units
+    of |direction|) and a bool mask; ``t_hit`` is 0 where ``hit`` is
+    False. Ray semantics: only t ≥ 0 counts. Vmap over leading dims for
+    ray bundles.
+    """
+    dtype = p.dtype
+    a, e, t, q = geometry.split_params(p)
+    dn = jnp.linalg.norm(direction)
+    d = direction / jnp.maximum(dn, jnp.asarray(1e-20, dtype))
+
+    # bounding-sphere clip
+    oc = origin - t
+    b = jnp.dot(oc, d)
+    c = jnp.dot(oc, oc) - jnp.dot(a, a)
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = jnp.maximum(-b - sq, 0.0)
+    t1 = -b + sq
+    miss_sphere = (disc <= 0.0) | (t1 <= 0.0)
+
+    step = (t1 - t0) / n_sweep
+
+    def inside(tt):
+        return geometry.field_points(origin + tt * d, p, guard=True) <= 1.0
+
+    def sweep(carry, i):
+        t_in, found = carry
+        tt = t0 + i.astype(dtype) * step
+        ins = inside(tt)
+        newly = ins & ~found
+        t_in = jnp.where(newly, tt, t_in)
+        return (t_in, found | ins), None
+
+    (t_in, hit), _ = jax.lax.scan(
+        sweep, (jnp.zeros((), dtype), jnp.zeros((), bool)),
+        jnp.arange(n_sweep))
+    hit = hit & ~miss_sphere
+
+    # bracket: [t_in - step] is outside (or the sphere entry), t_in inside
+    lo = jnp.maximum(t_in - step, t0)  # outside end
+    hi = t_in                          # inside end
+
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        ins = inside(mid)
+        return jnp.where(ins, lo, mid), jnp.where(ins, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, bisect, (lo, hi))
+    t_hit = jnp.where(hit, hi / jnp.maximum(dn, jnp.asarray(1e-20, dtype)),
+                      0.0)
+    return t_hit, hit
+
+
+SCENE_CENTER = 0.5  # the reference scene lives in the unit box
+
+
+def camera_frame_params(p: jax.Array, cam_q: jax.Array) -> jax.Array:
+    """SQ parameters expressed in a camera frame rotated by ``cam_q``
+    (world-from-camera rotation) about the scene center (0.5, 0.5, 0.5),
+    via :func:`sqtpu.ops.geometry.transform_params` — the hmatrix
+    algebra the binary's ``sq::transform_g`` implements."""
+    from sqtpu.ops import quaternion as quat
+    c0 = jnp.full((3,), SCENE_CENTER, p.dtype)
+    q_inv = quat.conjugate(cam_q)
+    t2 = c0 - quat.rotate(c0, q_inv)
+    return geometry.transform_params(p, q_inv, t2)
+
+
+def render_depth_view(
+    p: jax.Array,
+    cam_q: jax.Array,
+    image_size: int = 256,
+    n_bisect: int = 24,
+    quantize: bool = False,
+    n_sweep: int | None = None,
+) -> jax.Array:
+    """Orthographic depth map from a POSED camera — beyond-reference
+    capability (the scanner binary and the torch pipeline only ever
+    render the fixed −z view): multi-view training data, shape-from-X
+    experiments, turntable visualization.
+
+    ``cam_q``: world-from-camera rotation (xyzw). The camera's pixel
+    lattice and −z rays live in the camera frame, which is the world
+    frame rotated about the scene center (0.5, 0.5, 0.5) so any view
+    keeps the reference data distribution in frame. Identity ``cam_q``
+    reproduces :func:`render_depth_hard` exactly. Implementation:
+    express the SQ in the camera frame (rigid ``transform_params``) and
+    reuse the verified −z ray-caster — the camera model stays
+    bit-coupled to the scanner-parity path.
+    """
+    return render_depth_hard(
+        camera_frame_params(p, cam_q), image_size,
+        n_bisect=n_bisect, quantize=quantize, n_sweep=n_sweep)

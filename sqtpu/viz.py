@@ -237,3 +237,49 @@ def plot_grad_flow(grads, out_png: str):
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
     return names, means, maxs
+
+
+def turntable(
+    p: jax.Array,
+    out_png: str,
+    n_views: int = 8,
+    image_size: int = 128,
+    axis=(0.0, 1.0, 0.0),
+):
+    """Grid of depth renders from ``n_views`` camera orientations
+    spinning about ``axis`` (default y: the viewer looks along −z, so a
+    y-spin walks around the object; a z-spin would only rotate the
+    image in-plane) — the multi-view counterpart of the
+    reference's single fixed-view debug renders (torch/visu.py shows one
+    open3d window; this is the headless, arbitrary-view equivalent built
+    on :func:`sqtpu.ops.render.render_depth_view`). Returns the (n,
+    S, S) stack and saves the panel."""
+    import numpy as np
+
+    from sqtpu.ops.render import render_depth_view
+
+    ax = jnp.asarray(axis, p.dtype)
+    ax = ax / jnp.linalg.norm(ax)
+    angles = jnp.linspace(0.0, 2.0 * jnp.pi, n_views, endpoint=False,
+                          dtype=p.dtype)
+    views = []
+    for th in angles:
+        cam_q = jnp.concatenate([ax * jnp.sin(th / 2),
+                                 jnp.cos(th / 2)[None]])
+        views.append(np.asarray(render_depth_view(p, cam_q, image_size)))
+    views = np.stack(views)
+
+    plt = _plt()
+    cols = min(4, n_views)
+    rows = -(-n_views // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2.2 * cols, 2.2 * rows))
+    for i, a in enumerate(np.atleast_1d(axes).ravel()):
+        if i < n_views:
+            a.imshow(views[i], cmap="gray", vmin=0, vmax=1)
+            a.set_title(f"{float(angles[i]) * 180 / 3.14159:.0f}°",
+                        fontsize=8)
+        a.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return views

@@ -1,0 +1,144 @@
+"""General ray–SQ intersection + posed-camera rendering.
+
+Closes the last §2.2-N2 delta: the binary exports ``sq::intersect`` for
+arbitrary rays; sqtpu's :func:`intersect_ray` generalizes the verified
+−z caster, and :func:`render_depth_view` builds arbitrary-view
+orthographic rendering on top of it (beyond-reference capability).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqtpu.ops import geometry, quaternion as quat
+from sqtpu.ops.render import (
+    SCENE_CENTER, camera_frame_params, intersect_ray, render_depth_hard,
+    render_depth_view)
+
+
+@pytest.fixture(scope="module")
+def sq():
+    key = jax.random.PRNGKey(5)
+    kq = jax.random.split(key, 1)[0]
+    q = quat.random_uniform(kq, (), jnp.float64)
+    return jnp.concatenate([
+        jnp.asarray([60 / 255, 40 / 255, 75 / 255, 0.5, 0.9,
+                     130 / 255, 120 / 255, 140 / 255], jnp.float64), q])
+
+
+def test_intersect_matches_neg_z_render(sq):
+    """−z rays through the pixel lattice must reproduce the verified
+    hard renderer's depth map."""
+    s = 64
+    depth = np.asarray(render_depth_hard(sq, s))
+    ax = np.arange(s) / (s - 1)
+    X, Y = np.meshgrid(ax, ax, indexing="ij")  # (x, y) layout
+    origins = jnp.asarray(
+        np.stack([X, Y, np.ones_like(X)], -1).reshape(-1, 3))
+    direction = jnp.asarray([0.0, 0.0, -1.0], jnp.float64)
+    t_hit, hit = jax.vmap(lambda o: intersect_ray(o, direction, sq))(origins)
+    z = np.where(np.asarray(hit), 1.0 - np.asarray(t_hit), 0.0)
+    img = np.flip(z.reshape(s, s).T, axis=0)  # render_depth_hard layout
+    assert (np.asarray(depth) > 0).sum() > 100  # the SQ is in frame
+    np.testing.assert_allclose(img, depth, atol=2e-3)
+
+
+def test_intersect_hits_lie_on_surface(sq):
+    """Entry points of random oblique rays satisfy F = 1 (radial
+    distance below the bisection resolution)."""
+    key = jax.random.PRNGKey(11)
+    ko, kd = jax.random.split(key)
+    origins = jax.random.uniform(ko, (64, 3), jnp.float64)
+    # aim roughly at the SQ center so most rays hit
+    to_c = sq[5:8] - origins
+    dirs = to_c + 0.1 * jax.random.normal(kd, (64, 3), jnp.float64)
+    t_hit, hit = jax.vmap(lambda o, d: intersect_ray(o, d, sq))(origins,
+                                                               dirs)
+    # origins inside the body get t_hit ~ 0 ("entry at origin"); only
+    # outside origins have a surface entry point to check
+    outside = np.asarray(geometry.field_points(origins, sq) > 1.0)
+    keep = np.asarray(hit) & outside
+    assert int(keep.sum()) > 20
+    pts = origins + t_hit[:, None] * dirs
+    d = np.asarray(geometry.radial_distance(pts, sq))[keep]
+    assert d.max() < 2e-3
+
+
+def test_intersect_miss(sq):
+    """Rays pointing away: no hit, t = 0."""
+    o = jnp.asarray([0.0, 0.0, 2.0], jnp.float64)
+    t_hit, hit = intersect_ray(o, jnp.asarray([0.0, 0.0, 1.0],
+                                              jnp.float64), sq)
+    assert not bool(hit) and float(t_hit) == 0.0
+
+
+def test_identity_view_equals_hard_render(sq):
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+    a = np.asarray(render_depth_hard(sq, 64))
+    b = np.asarray(render_depth_view(sq, ident, 64))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_multiview_points_on_original_surface(sq):
+    """Lift a rotated view's depth pixels back to world space: every
+    point must lie on the ORIGINAL SQ's surface — the end-to-end
+    correctness statement for the camera model."""
+    s = 64
+    cam_q = quat.random_uniform(jax.random.PRNGKey(3), (), jnp.float64)
+    depth = np.asarray(render_depth_view(sq, cam_q, s))
+    ax = np.arange(s) / (s - 1)
+    # invert the image layout: row = s-1-y, col = x
+    ys, xs = np.nonzero(depth > 0)
+    x = ax[xs]
+    y = ax[s - 1 - ys]
+    z = depth[ys, xs]
+    pts_cam = jnp.asarray(np.stack([x, y, z], -1))
+    # camera -> world: x_w = c0 + R(cam_q) (x_cam - c0)
+    c0 = jnp.full((3,), SCENE_CENTER, jnp.float64)
+    pts_w = c0 + quat.rotate(pts_cam - c0, cam_q)
+    d = np.asarray(geometry.radial_distance(pts_w, sq))
+    assert len(d) > 100
+    assert np.quantile(d, 0.99) < 3e-3  # silhouette pixels are grazing
+    assert d.mean() < 1e-3
+
+
+def test_sphere_view_invariance():
+    """A sphere centered at the scene center renders identically from
+    every camera orientation."""
+    p = jnp.asarray([0.2, 0.2, 0.2, 1.0, 1.0, 0.5, 0.5, 0.5,
+                     0.0, 0.0, 0.0, 1.0], jnp.float64)
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+    cam_q = quat.random_uniform(jax.random.PRNGKey(8), (), jnp.float64)
+    a = np.asarray(render_depth_view(p, ident, 48))
+    b = np.asarray(render_depth_view(p, cam_q, 48))
+    np.testing.assert_allclose(b, a, atol=2e-3)
+
+
+def test_camera_frame_params_is_rigid(sq):
+    """camera_frame_params preserves size/shape and is inverted by the
+    conjugate camera (transform_params round-trip)."""
+    cam_q = quat.random_uniform(jax.random.PRNGKey(4), (), jnp.float64)
+    p_cam = camera_frame_params(sq, cam_q)
+    np.testing.assert_allclose(np.asarray(p_cam[:5]), np.asarray(sq[:5]))
+    p_back = camera_frame_params(p_cam, quat.conjugate(cam_q))
+    np.testing.assert_allclose(np.asarray(p_back[:8]),
+                               np.asarray(sq[:8]), atol=1e-12)
+    # quaternion up to sign
+    dot = float(jnp.abs(jnp.sum(p_back[8:12] * sq[8:12])))
+    assert dot == pytest.approx(1.0, abs=1e-12)
+
+
+def test_turntable_walks_around(tmp_path):
+    """viz.turntable: a y-axis spin of an elongated SQ changes the
+    silhouette area (it would not if the camera only spun in-plane)."""
+    from sqtpu.viz import turntable
+
+    p = jnp.asarray([0.25, 0.15, 0.1, 0.4, 0.8, 0.5, 0.5, 0.5,
+                     0.0, 0.0, 0.0, 1.0], jnp.float32)
+    out = str(tmp_path / "turn.png")
+    v = turntable(p, out, n_views=4, image_size=48)
+    import os
+    assert os.path.exists(out)
+    areas = [(x > 0).mean() for x in v]
+    assert max(areas) > 1.5 * min(areas)
