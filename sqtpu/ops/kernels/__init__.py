@@ -32,12 +32,15 @@ def pallas_available() -> bool:
 
 
 def implicit_loss_auto(img, pred_p, render_size=64, tau=1.5,
-                       sharpness=260.0):
+                       sharpness=260.0, z_window=True):
+    """``z_window`` bounds the kernel's z-sweep to the SQ's support
+    window (out-of-window transmittance is closed-form; see
+    kernels/implicit.py) — ignored by the XLA fallback."""
     if pallas_available() and pred_p.dtype == jax.numpy.float32:
         try:
             from sqtpu.ops.kernels.implicit import implicit_loss_pallas
             return implicit_loss_pallas(img, pred_p, render_size, tau,
-                                        sharpness)
+                                        sharpness, z_window=z_window)
         except ImportError:
             pass
     return losses.implicit_loss(img, pred_p, render_size, tau, sharpness)

@@ -51,6 +51,13 @@ from sqtpu.ops.losses import _as_bhw
 
 LANES = 128
 N_PAR = 17
+Z_MARGIN = 0.05  # default z-window margin (normalized z units): at the
+# reference sharpness 260 the occupancy tails and the d(occ) shell decay
+# within |1-F| ~ 0.06, i.e. well inside 0.05 of world z for the data
+# distribution (parity-measured; see implicit_loss_pallas docstring)
+# param-slot indices carrying per-sample window bounds as float lattice
+# indices (slots 17..23 are zero padding in _frame_params)
+SLOT_JLO, SLOT_JHI = 17, 18
 def _interpret() -> bool:
     """Interpreter mode, read at TRACE time (not import time) so it
     always agrees with :func:`sqtpu.ops.kernels.pallas_available`."""
@@ -100,6 +107,18 @@ def _plane_coords(n: int, tile_rows: int, rows: int):
 def _zval(j, n: int):
     inv = 1.0 / (n - 1)
     return jnp.where(j == 0, jnp.float32(1e-4), j.astype(jnp.float32) * inv)
+
+
+def _tile_bounds(par_ref, prog, tile_b: int):
+    """Union z-lattice bounds [lo, hi] over the program's tile. Windowed
+    runs use tile_b=1 (the union IS the sample's window); full-sweep runs
+    carry [0, n-1] in every sample's slots."""
+    lo = par_ref[prog * tile_b, SLOT_JLO]
+    hi = par_ref[prog * tile_b, SLOT_JHI]
+    for k in range(1, tile_b):
+        lo = jnp.minimum(lo, par_ref[prog * tile_b + k, SLOT_JLO])
+        hi = jnp.maximum(hi, par_ref[prog * tile_b + k, SLOT_JHI])
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
 def _param_planes(par_ref, prog, tile_b: int, rows: int):
@@ -252,10 +271,17 @@ def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
     prog = pl.program_id(0)
     X, Y = _plane_coords(n, tile_b * rows, rows)
     pp = _param_planes(par_ref, prog, tile_b, rows)
+    lo, hi = _tile_bounds(par_ref, prog, tile_b)
 
-    def body(jj, carry):
+    # z-windowed sweep: planes outside the SQ's support window have
+    # occ ~ 0 (far side, S stays 0, T = 1 each) or occ ~ 1 with S
+    # already saturated (near side, T = exp(-tau S_end) each) -- their
+    # Tacc contributions are CLOSED FORM, only the window is swept.
+    # Full-sweep runs carry [0, n-1] bounds: c_pre = c_post = 0 and the
+    # loop covers every plane, reproducing the unwindowed kernel.
+    def body(k, carry):
         S, Tacc = carry
-        j = n - 1 - jj  # far -> near
+        j = hi - k  # far -> near within the window
         z = _zval(j, n)
         F = _field_terms(pp, X, Y, z)["F"]
         S = S + _occ(F, sharp)
@@ -263,7 +289,10 @@ def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
         return S, Tacc
 
     zero = jnp.zeros((tile_b * rows, LANES), jnp.float32)
-    _, Tacc = jax.lax.fori_loop(0, n, body, (zero, zero))
+    S_end, Tacc_in = jax.lax.fori_loop(0, hi - lo + 1, body, (zero, zero))
+    c_pre = (jnp.float32(n - 1) - hi).astype(jnp.float32)
+    c_post = lo.astype(jnp.float32)
+    Tacc = c_pre + Tacc_in + c_post * jnp.exp(-tau * S_end)
     tacc_ref[0] = Tacc  # residual for the single-sweep backward
     diff = jnp.abs(img_ref[0] - (1.0 - Tacc / n))
     for k in range(tile_b):
@@ -304,15 +333,19 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
     phi = -sgn * g * (tau / n)
 
     acc_scr[:] = jnp.zeros((N_PAR, tile_rows, LANES), jnp.float32)
+    lo, hi = _tile_bounds(par_ref, prog, tile_b)
 
     # ---- single sweep (far -> near): recompute S_j and T_j on the fly;
     # the prefix sum W_j = sum_{z'<=j} T is recovered as Tacc - (V - T_j)
     # where V accumulates T over the planes visited so far (z' >= j).
     # 16 exp/log per point (vs 33 for the naive two-pass form) — see
     # _frame_grad_step for the shared dF chain and its clamp notes.
-    def p2(jj, carry):
+    # z-windowed like the forward: out-of-window planes have
+    # occ(1-occ) ~ 0, so their gF vanishes and they are skipped; V
+    # enters the window at c_pre (each far-side plane had T = 1).
+    def p2(k, carry):
         S, V = carry
-        j = n - 1 - jj
+        j = hi - k
         z = _zval(j, n)
         T = _field_terms(pp, X, Y, z)
         occ = _occ(T["F"], sharp)
@@ -325,7 +358,8 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
         _frame_grad_step(acc_scr, T, gF, pp, X, Y, z)
         return S, V
 
-    jax.lax.fori_loop(0, n, p2, (zero, zero))
+    c_pre = (jnp.float32(n - 1) - hi).astype(jnp.float32)
+    jax.lax.fori_loop(0, hi - lo + 1, p2, (zero, zero + c_pre))
 
     for k in range(tile_b):
         for i in range(N_PAR):
@@ -339,9 +373,9 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 # pallas_call wrappers + custom_vjp
 # ---------------------------------------------------------------------------
 
-def _fwd_call(img_xy, par, n: int, tau: float, sharp: float):
+def _fwd_call(img_xy, par, n: int, tau: float, sharp: float,
+              tile_b: int):
     b = par.shape[0]
-    tile_b = _tile_b(b, n)
     rows = (n * n) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # par rides SMEM, full array, indexed by pid
@@ -370,9 +404,9 @@ def _fwd_call(img_xy, par, n: int, tau: float, sharp: float):
     return sums[:, 0], tacc
 
 
-def _bwd_call(img_xy, par, tacc, g, n: int, tau: float, sharp: float):
+def _bwd_call(img_xy, par, tacc, g, n: int, tau: float, sharp: float,
+              tile_b: int):
     b = par.shape[0]
-    tile_b = _tile_b(b, n)
     rows = (n * n) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # par (B, 24) and upstream g (B,) in SMEM
@@ -405,23 +439,41 @@ def _bwd_call(img_xy, par, tacc, g, n: int, tau: float, sharp: float):
     )(par, g, img_tiles, tacc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _core(img_xy, par, n, tau, sharp):
-    return _fwd_call(img_xy, par, n, tau, sharp)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _core(img_xy, par, n, tau, sharp, tile_b):
+    return _fwd_call(img_xy, par, n, tau, sharp, tile_b)[0]
 
 
-def _core_fwd(img_xy, par, n, tau, sharp):
-    sums, tacc = _fwd_call(img_xy, par, n, tau, sharp)
+def _core_fwd(img_xy, par, n, tau, sharp, tile_b):
+    sums, tacc = _fwd_call(img_xy, par, n, tau, sharp, tile_b)
     return sums, (img_xy, par, tacc)
 
 
-def _core_bwd(n, tau, sharp, res, g):
+def _core_bwd(n, tau, sharp, tile_b, res, g):
     img_xy, par, tacc = res
-    dpar, dimg = _bwd_call(img_xy, par, tacc, g, n, tau, sharp)
+    dpar, dimg = _bwd_call(img_xy, par, tacc, g, n, tau, sharp, tile_b)
     return dimg.reshape(img_xy.shape), dpar
 
 
 _core.defvjp(_core_fwd, _core_bwd)
+
+
+def z_window_indices(pred_p: jax.Array, n: int,
+                     margin: float = Z_MARGIN):
+    """Per-sample lattice window [j_lo, j_hi] on the IMPLICIT axis
+    (z_j = j/(n−1)) covering the clamped SQ's z-support box ± margin,
+    as float32 indices under stop_gradient (piecewise-constant in the
+    params → a.e. zero gradient)."""
+    pp = geometry.clamp_params(pred_p.astype(jnp.float32))
+    a, e, t, q = geometry.split_params(pp)
+    rot = quat.to_matrix(quat.conjugate(q))
+    zlo, zhi, _ = geometry.z_support_window(a, rot, t, 2)
+    zlo = jnp.clip(zlo - margin, 0.0, 1.0)
+    zhi = jnp.clip(zhi + margin, 0.0, 1.0)
+    jlo = jnp.ceil(zlo * (n - 1))
+    jhi = jnp.maximum(jnp.floor(zhi * (n - 1)), jlo)
+    return (jax.lax.stop_gradient(jlo.astype(jnp.float32)),
+            jax.lax.stop_gradient(jhi.astype(jnp.float32)))
 
 
 def implicit_loss_pallas(
@@ -430,9 +482,20 @@ def implicit_loss_pallas(
     render_size: int = 64,
     tau: float = 1.5,
     sharpness: float = 260.0,
+    z_window: bool = True,
+    z_margin: float = Z_MARGIN,
 ) -> jax.Array:
     """Drop-in fused replacement for :func:`sqtpu.ops.losses.implicit_loss`
-    (fp32; render_size with N² divisible by 128)."""
+    (fp32; render_size with N² divisible by 128).
+
+    ``z_window=True`` (default) sweeps only the SQ's z-support window
+    ± ``z_margin``; the out-of-window transmittance contributions are
+    closed-form (module kernels), so the depth/loss stays within fp32
+    noise of the full sweep — at the reference sharpness 260 the
+    occupancy tails die within ~0.02 of world z. One sample per program
+    when windowed (loop bounds ARE the window). ``z_window=False``
+    sweeps all n planes with the original multi-sample tiling for exact
+    XLA parity."""
     n = render_size
     if not _supported(n):
         from sqtpu.ops import losses
@@ -445,13 +508,21 @@ def implicit_loss_pallas(
         small.shape[0], (n * n) // LANES, LANES)
 
     par = _frame_params(pred_p)
+    if z_window:
+        jlo, jhi = z_window_indices(pred_p, n, z_margin)
+        par = par.at[:, SLOT_JLO].set(jlo).at[:, SLOT_JHI].set(jhi)
+        tiling = lambda nb: 1
+    else:
+        par = par.at[:, SLOT_JHI].set(float(n - 1))  # full sweep
+        tiling = lambda nb: _tile_b(nb, n)
 
     b, mb = par.shape[0], _max_batch()
     if b > mb:
         sums = jnp.concatenate([
             _core(img_xy[i:i + mb], par[i:i + mb], n, float(tau),
-                  float(sharpness))
+                  float(sharpness), tiling(min(mb, b - i)))
             for i in range(0, b, mb)])
     else:
-        sums = _core(img_xy, par, n, float(tau), float(sharpness))
+        sums = _core(img_xy, par, n, float(tau), float(sharpness),
+                     tiling(b))
     return jnp.mean(sums) / (n * n)

@@ -211,3 +211,20 @@ def test_batch_chunking_parity(monkeypatch):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(chunk_g), np.asarray(whole_g),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_z_window_matches_full_sweep(batch):
+    """Windowed sweep (default, closed-form out-of-window transmittance)
+    vs the exact full sweep: value and gradient parity."""
+    from sqtpu.ops.kernels.implicit import implicit_loss_pallas
+
+    imgs, p = batch
+    full = float(implicit_loss_pallas(imgs, p, 32, z_window=False))
+    win = float(implicit_loss_pallas(imgs, p, 32))
+    assert win == pytest.approx(full, rel=1e-5)
+    g_full = np.asarray(jax.grad(
+        lambda pp: implicit_loss_pallas(imgs, pp, 32,
+                                        z_window=False))(p))
+    g_win = np.asarray(jax.grad(
+        lambda pp: implicit_loss_pallas(imgs, pp, 32))(p))
+    np.testing.assert_allclose(g_win, g_full, rtol=1e-4, atol=1e-7)
