@@ -78,3 +78,24 @@ def test_unknown_loss_raises(batch):
     cfg = TrainConfig(loss="nope")
     with pytest.raises(ValueError):
         _compute_loss(cfg, pred, imgs, labels)
+
+
+def test_explicit_sharp_config_wires_through(batch):
+    """--explicit-sharp (round-4 sharpness annealing) must reach the
+    explicit geometry term in every explicit-family loss."""
+    imgs, labels, pred = batch
+    for loss in ("explicit", "explicit_sym"):
+        vals = []
+        for sharp in (5.0, 20.0):
+            cfg = TrainConfig(loss=loss, render_size=16, gauge_weight=2.0,
+                              explicit_sharp=sharp, use_pallas=False)
+            vals.append(float(_compute_loss(cfg, pred, imgs, labels)))
+        assert abs(vals[0] - vals[1]) > 1e-5, loss
+    # and it matches the direct loss call
+    cfg = TrainConfig(loss="explicit", render_size=16,
+                      explicit_sharp=20.0, use_pallas=False)
+    from sqtpu.ops import losses as L
+    direct = float(L.explicit_loss(labels[..., :12], pred[..., :12], 16,
+                                   sharp=20.0))
+    assert float(_compute_loss(cfg, pred, imgs, labels)) == pytest.approx(
+        direct, rel=1e-6)
