@@ -141,11 +141,13 @@ def main():
         batch_size=BATCH, render_size=128, loss="explicit_sym",
         gauge_weight=2.0, explicit_sharp=20.0, dtype="float32"))
 
-    # ---- the SP ("long axis") path's single-chip cost: grid-sharded
-    # implicit supervision drops the fused kernel for the jnp loss
-    # (training/loop.py n_grid>1 branch) — measure that penalty at 128³
-    # where SP would actually be used (round-3 VERDICT weak #9). Small
-    # batch: the jnp backward materializes O(B·N³) intermediates.
+    # ---- the SP ("long axis") path's single-chip cost pair: the fused
+    # kernel vs the jnp loss at 128³ where SP would actually be used
+    # (round-3 VERDICT weak #9). Since round 4 the grid-sharded path
+    # runs the kernel per column slab (sharded_losses.use_kernel), so
+    # the jnp number is the cost of the use_pallas=False fallback, not
+    # of SP itself. Small batch: the jnp backward materializes O(B·N³)
+    # intermediates.
     sp_batch = 64
     implicit128_pallas = time_step(TrainConfig(
         batch_size=sp_batch, render_size=128, loss="implicit",
@@ -191,7 +193,7 @@ def main():
                 implicit128_pallas, 2),
             "sp_implicit128_jnp_imgs_per_sec_per_chip": round(
                 implicit128_jnp, 2),
-            "sp_note": "grid-sharded SP drops the fused kernel (loop.py n_grid>1): jnp vs Pallas implicit @128^3 batch 64 = the per-chip penalty SP pays before its axis split",
+            "sp_note": "SP composes with the fused kernel since round 4 (column-slab kernel per grid shard); the jnp number is the use_pallas=False fallback cost, implicit @128^3 batch 64",
             "datagen_imgs_per_sec_per_chip": round(gen_per_chip, 2),
         },
     }))

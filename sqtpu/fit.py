@@ -230,6 +230,50 @@ def apply_prefilter(img: jax.Array, prefilter: str) -> jax.Array:
     raise ValueError(f"unknown prefilter {prefilter!r}")
 
 
+def image_points_view(img: jax.Array, cam_q: jax.Array, n: int = 64):
+    """Lift a POSED view's depth image to WORLD-frame points.
+
+    ``cam_q`` is the view's world-from-camera rotation (the same
+    convention as :func:`sqtpu.ops.render.render_depth_view`): the
+    camera frame is the world frame rotated by ``conjugate(cam_q)``
+    about the scene center, so a camera-frame point lifts back as
+    ``x_w = R(cam_q)·(x_cam − c) + c``. Identity ``cam_q`` reduces to
+    :func:`image_points` exactly."""
+    from sqtpu.ops import quaternion as quat
+
+    pts_cam, mask = image_points(img, n)
+    c0 = jnp.asarray(0.5, img.dtype)
+    pts_w = quat.rotate(pts_cam - c0, cam_q) + c0
+    return pts_w, mask
+
+
+@partial(jax.jit, static_argnames=("n_points", "iters", "robust_c",
+                                   "prefilter", "residual"))
+def recover_multiview(imgs: jax.Array, cam_qs: jax.Array,
+                      n_points: int = 64, iters: int = 50,
+                      robust_c: float = 0.0, prefilter: str = "none",
+                      residual: str = "sb"):
+    """Classical recovery from MULTIPLE posed depth views — beyond the
+    reference (the binary's ``recover`` reads one range image): each
+    view's pixels are lifted into the shared world frame, the merged
+    cloud covers the self-occluded far side a single orthographic view
+    never sees, and one moments init + L-M solve fits all of it.
+
+    ``imgs``: (V, H, W) depth views of the SAME SQ; ``cam_qs``: (V, 4)
+    world-from-camera rotations (xyzw), as rendered by
+    :func:`sqtpu.ops.render.render_depth_view`. The merged solve keeps
+    the fixed-shape masked-point contract of :func:`lm_fit` (V·n²
+    points), so it jits once for any view count."""
+    imgs = jax.vmap(lambda im: apply_prefilter(im, prefilter))(imgs)
+    pts, mask = jax.vmap(
+        lambda im, q: image_points_view(im, q, n_points))(imgs, cam_qs)
+    pts = pts.reshape(-1, 3)
+    mask = mask.reshape(-1)
+    p0 = moments_init(pts, mask)
+    return lm_fit(pts, mask, p0, iters, robust_c=robust_c,
+                  residual=residual)
+
+
 def recover(img: jax.Array, n_points: int = 64, iters: int = 50,
             robust_c: float = 0.0, prefilter: str = "none",
             residual: str = "sb"):

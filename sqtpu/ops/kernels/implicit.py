@@ -58,6 +58,10 @@ Z_MARGIN = 0.05  # default z-window margin (normalized z units): at the
 # param-slot indices carrying per-sample window bounds as float lattice
 # indices (slots 17..23 are zero padding in _frame_params)
 SLOT_JLO, SLOT_JHI = 17, 18
+# x-column offset of the plane slab this call covers (float lattice
+# index; 0 for full-plane calls) — lets the kernel run on a shard of
+# image columns under grid-axis sharding (parallel/sharded_losses)
+SLOT_X0 = 19
 def _interpret() -> bool:
     """Interpreter mode, read at TRACE time (not import time) so it
     always agrees with :func:`sqtpu.ops.kernels.pallas_available`."""
@@ -78,11 +82,11 @@ def _max_batch() -> int:
     return int(os.environ.get("SQTPU_KERNEL_MAX_BATCH", "512"))
 
 
-def _tile_b(batch: int, n: int) -> int:
+def _tile_b(batch: int, n: int, n_cols: int | None = None) -> int:
     """Samples per program: as many as divide the batch AND keep the
     backward's 17 accumulator planes within ~4 MB of VMEM (the rest of
     the ~16 MB budget goes to the working planes and pipelining)."""
-    rows = (n * n) // LANES
+    rows = (n * (n if n_cols is None else n_cols)) // LANES
     budget = 4 * 1024 * 1024
     for t in (8, 4, 2):
         if batch % t == 0 and N_PAR * t * rows * LANES * 4 <= budget:
@@ -90,14 +94,19 @@ def _tile_b(batch: int, n: int) -> int:
     return 1
 
 
-def _plane_coords(n: int, tile_rows: int, rows: int):
+def _plane_coords(n: int, tile_rows: int, rows: int, x0=None):
     """Lane-packed (tile_rows, 128) x/y coordinates; each consecutive
-    ``rows``-row block is one sample's flattened (x*n + y) plane."""
+    ``rows``-row block is one sample's flattened (x_local*n + y) plane.
+    ``x0`` (traced int32 scalar, optional) offsets the x lattice index —
+    the slab mode used by grid-axis sharding, where each call covers
+    only ``rows·128/n`` of the n columns."""
     r = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
     l = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
     idx = (r % rows) * LANES + l
     xi = idx // n
     yi = idx - xi * n
+    if x0 is not None:
+        xi = xi + x0
     inv = 1.0 / (n - 1)
     X = jnp.where(xi == 0, 1e-4, xi.astype(jnp.float32) * inv)
     Y = jnp.where(yi == 0, 1e-4, yi.astype(jnp.float32) * inv)
@@ -265,11 +274,12 @@ def _frame_params(p):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
+def _fwd_kernel(n: int, n_cols: int, tau: float, sharp: float, tile_b: int,
                 par_ref, img_ref, out_ref, tacc_ref):
-    rows = (n * n) // LANES
+    rows = (n * n_cols) // LANES
     prog = pl.program_id(0)
-    X, Y = _plane_coords(n, tile_b * rows, rows)
+    x0 = par_ref[prog * tile_b, SLOT_X0].astype(jnp.int32)
+    X, Y = _plane_coords(n, tile_b * rows, rows, x0)
     pp = _param_planes(par_ref, prog, tile_b, rows)
     lo, hi = _tile_bounds(par_ref, prog, tile_b)
 
@@ -304,13 +314,14 @@ def _fwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
+def _bwd_kernel(n: int, n_cols: int, tau: float, sharp: float, tile_b: int,
                 par_ref, g_ref, img_ref, tacc_ref, dpar_ref, dimg_ref,
                 acc_scr):
-    rows = (n * n) // LANES
+    rows = (n * n_cols) // LANES
     prog = pl.program_id(0)
     tile_rows = tile_b * rows
-    X, Y = _plane_coords(n, tile_rows, rows)
+    x0 = par_ref[prog * tile_b, SLOT_X0].astype(jnp.int32)
+    X, Y = _plane_coords(n, tile_rows, rows, x0)
     pp = _param_planes(par_ref, prog, tile_b, rows)
 
     # total transmittance sum Tacc: saved by the forward (O(N²)/sample)
@@ -373,10 +384,10 @@ def _bwd_kernel(n: int, tau: float, sharp: float, tile_b: int,
 # pallas_call wrappers + custom_vjp
 # ---------------------------------------------------------------------------
 
-def _fwd_call(img_xy, par, n: int, tau: float, sharp: float,
+def _fwd_call(img_xy, par, n: int, n_cols: int, tau: float, sharp: float,
               tile_b: int):
     b = par.shape[0]
-    rows = (n * n) // LANES
+    rows = (n * n_cols) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # par rides SMEM, full array, indexed by pid
         grid=(b // tile_b,),
@@ -392,7 +403,7 @@ def _fwd_call(img_xy, par, n: int, tau: float, sharp: float,
     )
     img_tiles = img_xy.reshape(b // tile_b, tile_b * rows, LANES)
     sums, tacc = pl.pallas_call(
-        functools.partial(_fwd_kernel, n, tau, sharp, tile_b),
+        functools.partial(_fwd_kernel, n, n_cols, tau, sharp, tile_b),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
@@ -404,10 +415,10 @@ def _fwd_call(img_xy, par, n: int, tau: float, sharp: float,
     return sums[:, 0], tacc
 
 
-def _bwd_call(img_xy, par, tacc, g, n: int, tau: float, sharp: float,
-              tile_b: int):
+def _bwd_call(img_xy, par, tacc, g, n: int, n_cols: int, tau: float,
+              sharp: float, tile_b: int):
     b = par.shape[0]
-    rows = (n * n) // LANES
+    rows = (n * n_cols) // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # par (B, 24) and upstream g (B,) in SMEM
         grid=(b // tile_b,),
@@ -428,7 +439,7 @@ def _bwd_call(img_xy, par, tacc, g, n: int, tau: float, sharp: float,
     )
     img_tiles = img_xy.reshape(b // tile_b, tile_b * rows, LANES)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n, tau, sharp, tile_b),
+        functools.partial(_bwd_kernel, n, n_cols, tau, sharp, tile_b),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 24), jnp.float32),
@@ -439,19 +450,20 @@ def _bwd_call(img_xy, par, tacc, g, n: int, tau: float, sharp: float,
     )(par, g, img_tiles, tacc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _core(img_xy, par, n, tau, sharp, tile_b):
-    return _fwd_call(img_xy, par, n, tau, sharp, tile_b)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _core(img_xy, par, n, n_cols, tau, sharp, tile_b):
+    return _fwd_call(img_xy, par, n, n_cols, tau, sharp, tile_b)[0]
 
 
-def _core_fwd(img_xy, par, n, tau, sharp, tile_b):
-    sums, tacc = _fwd_call(img_xy, par, n, tau, sharp, tile_b)
+def _core_fwd(img_xy, par, n, n_cols, tau, sharp, tile_b):
+    sums, tacc = _fwd_call(img_xy, par, n, n_cols, tau, sharp, tile_b)
     return sums, (img_xy, par, tacc)
 
 
-def _core_bwd(n, tau, sharp, tile_b, res, g):
+def _core_bwd(n, n_cols, tau, sharp, tile_b, res, g):
     img_xy, par, tacc = res
-    dpar, dimg = _bwd_call(img_xy, par, tacc, g, n, tau, sharp, tile_b)
+    dpar, dimg = _bwd_call(img_xy, par, tacc, g, n, n_cols, tau, sharp,
+                           tile_b)
     return dimg.reshape(img_xy.shape), dpar
 
 
@@ -519,10 +531,61 @@ def implicit_loss_pallas(
     b, mb = par.shape[0], _max_batch()
     if b > mb:
         sums = jnp.concatenate([
-            _core(img_xy[i:i + mb], par[i:i + mb], n, float(tau),
+            _core(img_xy[i:i + mb], par[i:i + mb], n, n, float(tau),
                   float(sharpness), tiling(min(mb, b - i)))
             for i in range(0, b, mb)])
     else:
-        sums = _core(img_xy, par, n, float(tau), float(sharpness),
+        sums = _core(img_xy, par, n, n, float(tau), float(sharpness),
                      tiling(b))
     return jnp.mean(sums) / (n * n)
+
+
+def implicit_sums_pallas_slab(
+    img_slab: jax.Array,
+    pred_p: jax.Array,
+    x0: jax.Array,
+    render_size: int,
+    tau: float = 1.5,
+    sharpness: float = 260.0,
+    z_window: bool = True,
+    z_margin: float = Z_MARGIN,
+) -> jax.Array:
+    """Per-sample L1 partial sums over a slab of image COLUMNS — the
+    grid-axis-sharded building block (parallel/sharded_losses): each
+    device runs the fused kernel on its ``n_cols = img_slab.shape[-1]``
+    columns starting at lattice x-index ``x0`` (traced int32 scalar),
+    and the partial sums are psum'd over the 'grid' axis.
+
+    ``img_slab`` is (B, n, n_cols) in IMAGE space (rows top-down, the
+    slab's columns), already resized to the render lattice — i.e.
+    ``nearest_resize(img, (n, n))[:, :, x0:x0+n_cols]``. Returns (B,)
+    sums; the caller divides the psum by n² and means over the batch to
+    reproduce :func:`sqtpu.ops.losses.implicit_loss` exactly."""
+    n = render_size
+    n_cols = img_slab.shape[-1]
+    assert (n * n_cols) % LANES == 0, (
+        f"slab {n_cols}x{n} must be lane-divisible")
+    # image (row, col) -> flattened (x_local*n + y): flip rows (y is
+    # counted from the image bottom), transpose to (col, row)
+    img_xy = jnp.flip(img_slab.astype(jnp.float32), axis=-2).transpose(
+        0, 2, 1).reshape(img_slab.shape[0], (n * n_cols) // LANES, LANES)
+
+    par = _frame_params(pred_p)
+    if z_window:
+        jlo, jhi = z_window_indices(pred_p, n, z_margin)
+        par = par.at[:, SLOT_JLO].set(jlo).at[:, SLOT_JHI].set(jhi)
+        tile = lambda nb: 1
+    else:
+        par = par.at[:, SLOT_JHI].set(float(n - 1))
+        tile = lambda nb: _tile_b(nb, n, n_cols)
+    par = par.at[:, SLOT_X0].set(
+        jnp.broadcast_to(x0.astype(jnp.float32), (par.shape[0],)))
+
+    b, mb = par.shape[0], _max_batch()
+    if b > mb:
+        return jnp.concatenate([
+            _core(img_xy[i:i + mb], par[i:i + mb], n, n_cols, float(tau),
+                  float(sharpness), tile(min(mb, b - i)))
+            for i in range(0, b, mb)])
+    return _core(img_xy, par, n, n_cols, float(tau), float(sharpness),
+                 tile(b))

@@ -81,12 +81,12 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
     if cfg.loss == "implicit":
         if mesh is not None and mesh.shape.get("grid", 1) > 1:
             # voxel-grid SP: columns sharded over the 'grid' axis with a
-            # psum of partial sums (SURVEY.md §5.7); not composable with
-            # the single-device Pallas kernel
+            # psum of partial sums (SURVEY.md §5.7); runs the fused
+            # Pallas kernel per column slab when available
             from sqtpu.parallel.sharded_losses import implicit_loss_gridsharded
             return implicit_loss_gridsharded(
                 imgs[..., 0], pred, mesh, cfg.render_size, cfg.tau,
-                cfg.sigmoid_sharpness)
+                cfg.sigmoid_sharpness, use_pallas=cfg.use_pallas)
         if cfg.use_pallas:
             from sqtpu.ops.kernels import implicit_loss_auto, pallas_available
             if (mesh is not None and mesh.shape.get("data", 1) > 1

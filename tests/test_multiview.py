@@ -142,3 +142,61 @@ def test_turntable_walks_around(tmp_path):
     assert os.path.exists(out)
     areas = [(x > 0).mean() for x in v]
     assert max(areas) > 1.5 * min(areas)
+
+
+# ---------------------------------------------------------------------------
+# Multi-view classical recovery (fit.recover_multiview)
+# ---------------------------------------------------------------------------
+
+def _axis_quat(axis, angle, dtype=jnp.float64):
+    ax = jnp.asarray(axis, dtype)
+    ax = ax / jnp.linalg.norm(ax)
+    s = jnp.sin(angle / 2)
+    return jnp.concatenate([ax * s, jnp.cos(angle / 2)[None]])
+
+
+IDENTITY_Q = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+
+
+def test_multiview_recover_identity_matches_single_view(sq):
+    """One identity view through recover_multiview must equal recover."""
+    from sqtpu.fit import recover, recover_multiview
+
+    img = render_depth_view(sq, IDENTITY_Q, 64)
+    p_single = np.asarray(recover(img, n_points=32, iters=40)[0])
+    p_multi = np.asarray(recover_multiview(
+        img[None], IDENTITY_Q[None], n_points=32, iters=40)[0])
+    np.testing.assert_allclose(p_multi, p_single, rtol=1e-10, atol=1e-12)
+
+
+def test_multiview_recover_quality(sq):
+    """Three posed views merge into a world cloud the L-M solve fits:
+    the recovered SQ must match the truth closely in volumetric IoU."""
+    from sqtpu.fit import recover_multiview
+    from sqtpu.ops.metrics import iou
+
+    angles = jnp.asarray(jnp.pi / 2, jnp.float64)
+    views = jnp.stack([
+        IDENTITY_Q,
+        _axis_quat([0.0, 1.0, 0.0], angles),
+        _axis_quat([1.0, 0.0, 0.0], angles),
+    ])
+    imgs = jax.vmap(lambda q: render_depth_view(sq, q, 64))(views)
+    p_hat, _ = recover_multiview(imgs, views, n_points=32, iters=40)
+    score = float(iou(sq[None], p_hat[None], 64))
+    assert score > 0.85, f"multi-view recovery IoU {score}"
+
+
+def test_multiview_points_land_on_world_surface(sq):
+    """image_points_view must invert the posed-camera transform: lifted
+    world points of an oblique view lie on the ORIGINAL SQ surface."""
+    from sqtpu.fit import image_points_view
+
+    cam_q = _axis_quat([0.3, 1.0, 0.2], jnp.asarray(1.1, jnp.float64))
+    img = render_depth_view(sq, cam_q, 64)
+    pts, mask = image_points_view(img, cam_q, 64)
+    # radial distance to the surface; half-pixel lattice quantization
+    # bounds the expected error
+    rd = np.abs(np.asarray(geometry.radial_distance(pts, sq)))
+    on = rd[np.asarray(mask) > 0]
+    assert np.median(on) < 0.02, f"median radial distance {np.median(on)}"

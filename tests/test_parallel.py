@@ -55,6 +55,40 @@ def test_gridsharded_gradients_match(batch):
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.parametrize("n_data,n_grid", [(2, 2), (1, 4)])
+def test_gridsharded_kernel_matches_unsharded(batch, monkeypatch,
+                                              n_data, n_grid):
+    """The SP path composed with the fused Pallas kernel (interpret
+    mode): each device's column-slab kernel partial sums psum to the
+    same loss as the single-device kernel and the jnp reference."""
+    monkeypatch.setenv("SQTPU_PALLAS_INTERPRET", "1")
+    from sqtpu.ops.kernels.implicit import implicit_loss_pallas
+
+    imgs, p = batch
+    imgs, p = imgs[:4].astype(jnp.float32), p[:4].astype(jnp.float32)
+    mesh = make_mesh(n_data=n_data, n_grid=n_grid)
+    want_jnp = float(losses.implicit_loss(imgs, p, 32, 1.5, 260.0))
+    want_krn = float(implicit_loss_pallas(imgs, p, 32, 1.5, 260.0))
+    got = float(implicit_loss_gridsharded(imgs, p, mesh, 32, 1.5, 260.0))
+    assert got == pytest.approx(want_krn, rel=1e-6)
+    assert got == pytest.approx(want_jnp, rel=1e-4)
+
+
+def test_gridsharded_kernel_gradients_match(batch, monkeypatch):
+    monkeypatch.setenv("SQTPU_PALLAS_INTERPRET", "1")
+    imgs, p = batch
+    imgs = imgs[:4, ::2, ::2].astype(jnp.float32)
+    p = p[:4].astype(jnp.float32)
+    mesh = make_mesh(n_data=2, n_grid=2)
+    g_ref = jax.grad(lambda pp: losses.implicit_loss(
+        imgs, pp, 16, 1.5, 260.0))(p)
+    g_shd = jax.grad(lambda pp: implicit_loss_gridsharded(
+        imgs, pp, mesh, 16, 1.5, 260.0))(p)
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(g_shd), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-5 * scale)
+
+
 def test_batch_sharding_spreads_data(batch):
     imgs, p = batch
     mesh = make_mesh(n_data=8, n_grid=1)
