@@ -323,12 +323,20 @@ def rotation_moment_loss(q_pred: jax.Array, p_true: jax.Array,
 # ---------------------------------------------------------------------------
 
 def param_mse(pred: jax.Array, true: jax.Array,
-              reduce: bool = True) -> jax.Array:
+              reduce: bool = True, col_weight: jax.Array | None = None
+              ) -> jax.Array:
     """Label-space MSE — the 2019 isometry model's loss (``py/models.py:52``).
 
     ``reduce=False`` returns the per-sample mean over the parameter axis
-    (for per-sample loss weighting, e.g. elongation-aware training)."""
-    per = jnp.mean((pred - true) ** 2, axis=-1)
+    (for per-sample loss weighting, e.g. elongation-aware training).
+    ``col_weight`` (broadcastable to the last axis) re-weights parameter
+    columns — e.g. up-weighting the shape exponents e1/e2, the hardest
+    columns to regress from depth (their visual effect is subtle, so the
+    uniform anchor under-trains them relative to size/position)."""
+    sq = (pred - true) ** 2
+    if col_weight is not None:
+        sq = sq * col_weight
+    per = jnp.mean(sq, axis=-1)
     return jnp.mean(per) if reduce else per
 
 

@@ -207,8 +207,13 @@ def _compute_loss(cfg: TrainConfig, pred, imgs, labels, mesh=None):
         # to a consistent ANTI-canonical convention (100% a1 < a2,
         # measured round 3) since any consistent gauge is a fixed point.
         expl = _explicit_geo(cfg, pred, labels, mesh)
+        cw = None
+        if cfg.shape_weight != 1.0:
+            cw = jnp.asarray([1.0, 1.0, 1.0, cfg.shape_weight,
+                              cfg.shape_weight, 1.0, 1.0, 1.0],
+                             pred.dtype)
         per = (losses.param_mse(pred[..., :8], labels[..., :8],
-                                reduce=False)
+                                reduce=False, col_weight=cw)
                + losses.quaternion_loss_sym(pred[..., 8:12],
                                             labels[..., 8:12],
                                             reduce=False))

@@ -31,6 +31,11 @@ class TrainConfig:
     geo_weight: float = 1.0           # second-moment term in supervised_geo
     # (keep small: at 5.0 the term drowns the param-MSE gradients and
     # stalls size/position learning — measured on-chip, round 2)
+    shape_weight: float = 1.0         # e1/e2 column weight in the
+    # explicit_sym anchor — the shape exponents are the weakest CNN
+    # columns (MAE ~0.06 vs 0.006 for size at stage c4a; LM refine gets
+    # 0.012/0.030 from the same images, so the signal exists and the
+    # uniform anchor under-trains it)
     elong_weight: float = 0.0         # >0: weight supervised per-sample
     # losses by 1 + w·(elongation−1) — full-IoU residual anti-correlates
     # with elongation (r = −0.61, round-2 analysis)

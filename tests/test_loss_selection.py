@@ -99,3 +99,24 @@ def test_explicit_sharp_config_wires_through(batch):
                                    sharp=20.0))
     assert float(_compute_loss(cfg, pred, imgs, labels)) == pytest.approx(
         direct, rel=1e-6)
+
+
+def test_shape_weight_config_wires_through(batch):
+    """--shape-weight must scale the e1/e2 columns of the explicit_sym
+    anchor: perturbing only the shape exponents moves the loss more
+    under a higher weight, while a size-only perturbation is
+    unaffected."""
+    imgs, labels, pred = batch
+
+    def val(p, sw):
+        cfg = TrainConfig(loss="explicit_sym", render_size=16,
+                          gauge_weight=2.0, shape_weight=sw,
+                          use_pallas=False)
+        return float(_compute_loss(cfg, p, imgs, labels))
+
+    e_off = labels.at[..., 3:5].add(0.2)
+    assert val(e_off, 4.0) > val(e_off, 1.0) + 1e-5
+    # size perturbation: anchor term identical under either weight
+    # (the geometry term never sees shape_weight)
+    a_off = labels.at[..., 0:3].add(0.2)
+    assert val(a_off, 4.0) == pytest.approx(val(a_off, 1.0), rel=1e-6)
