@@ -14,18 +14,22 @@ from sqtpu.models.torch_port import (  # noqa: F401
 
 import functools
 
+from sqtpu.models.refiner import IterativeSQ, RefineBlock  # noqa: F401
+
 MODEL_REGISTRY = {
     "resnet_sq": ResNetSQ,
     # continuous 6D rotation representation head (Zhou et al. CVPR 2019)
     "resnet_sq6d": functools.partial(ResNetSQ, rot6d=True),
+    # render-and-compare iterative refinement (models/refiner.py)
+    "refine_sq": IterativeSQ,
     "generic_sq": GenericNetSQ,
     "keras_iso": KerasIsoNet,
     "keras_rot": KerasRotNet,
 }
 
 # parameter-vector width each model family regresses
-OUTPUT_DIMS = {"resnet_sq": 12, "resnet_sq6d": 12, "generic_sq": 4,
-               "keras_iso": 8, "keras_rot": 12}
+OUTPUT_DIMS = {"resnet_sq": 12, "resnet_sq6d": 12, "refine_sq": 12,
+               "generic_sq": 4, "keras_iso": 8, "keras_rot": 12}
 
 
 def build_model(name: str, **kwargs):

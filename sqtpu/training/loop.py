@@ -465,6 +465,17 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         state = state.replace(params=variables["params"],
                               batch_stats=variables.get("batch_stats"))
         MetricLogger.line(f"warm-started all weights from {cfg.init_weights}")
+    if cfg.init_base:
+        # refine_sq: base submodule from a flagship resnet_sq npz; the
+        # corrector keeps its identity init, so step 0 scores exactly
+        # like the flagship
+        from sqtpu.models.refiner import warm_start_base
+        variables = warm_start_base(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cfg.init_base)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables.get("batch_stats"))
+        MetricLogger.line(f"warm-started base from {cfg.init_base}")
     n_params = sum(np.prod(p.shape) for p in
                    jax.tree_util.tree_leaves(state.params))
     MetricLogger.line(f"model={cfg.model} params={n_params:,} "

@@ -103,6 +103,9 @@ class TrainConfig:
     # branch a new training stage off an exported model when the Orbax
     # ckpt has been overwritten by a later stage.
     init_weights: str = ""
+    init_base: str = ""               # refine_sq: warm-start the "base"
+    # submodule from an exported resnet_sq flagship npz (the corrector
+    # stays at its zeros/identity init)
 
     # checkpoint / logging (train.py:38, 45)
     ckpt_dir: str = "checkpoints/run0"
