@@ -278,6 +278,12 @@ def make_train_step(model, cfg: TrainConfig, mesh=None):
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, imgs, labels)
+        if cfg.freeze_base and "base" in grads:
+            # refine_sq: train only the corrector — the warm-started
+            # base stays fixed (zero grads keep the Adam state inert;
+            # wd is 0 in every recipe, so no decay drift either)
+            grads = dict(grads, base=jax.tree_util.tree_map(
+                jnp.zeros_like, grads["base"]))
         new_state = state.apply_gradients(grads=grads)
         if new_stats is not None:
             new_state = new_state.replace(batch_stats=new_stats)

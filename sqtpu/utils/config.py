@@ -106,6 +106,9 @@ class TrainConfig:
     init_base: str = ""               # refine_sq: warm-start the "base"
     # submodule from an exported resnet_sq flagship npz (the corrector
     # stays at its zeros/identity init)
+    freeze_base: bool = False         # refine_sq: zero the base
+    # submodule's gradients — train the corrector alone at a healthy LR
+    # without drifting the converged flagship underneath it
 
     # checkpoint / logging (train.py:38, 45)
     ckpt_dir: str = "checkpoints/run0"

@@ -141,3 +141,31 @@ def test_refinement_actually_updates(batch, model_and_vars):
         {"params": params, "batch_stats": variables["batch_stats"]},
         imgs, train=False))
     assert float(jnp.abs(p1 - p0).max()) > 1e-4
+
+
+def test_freeze_base_trains_only_corrector(batch):
+    """--freeze-base: one train step must leave base params bit-identical
+    while the corrector moves."""
+    from sqtpu.training.loop import make_train_step
+    from sqtpu.training.state import create_train_state
+    from sqtpu.utils.config import TrainConfig
+
+    imgs, labels = batch
+    cfg = TrainConfig(model="refine_sq", loss="supervised_sym",
+                      image_size=imgs.shape[1], batch_size=imgs.shape[0],
+                      learning_rate=1e-3, freeze_base=True,
+                      use_pallas=False, remat=False)
+    model = build_model("refine_sq", n_refine=1, n_sweep=16)
+    state = create_train_state(model, jax.random.PRNGKey(5), cfg)
+    # snapshot before the step: donation invalidates the old buffers
+    b0 = np.asarray(state.params["base"]["fc1"]["kernel"])
+    # at the identity init only the delta head sees gradient (the rest
+    # of the corrector's upstream flows through the still-zero kernel)
+    r0 = np.asarray(state.params["refine"]["delta"]["kernel"])
+    step = make_train_step(model, cfg)
+    new_state, loss = step(state, imgs, labels)
+    assert bool(jnp.isfinite(loss))
+    b1 = np.asarray(new_state.params["base"]["fc1"]["kernel"])
+    np.testing.assert_array_equal(b0, b1)
+    r1 = np.asarray(new_state.params["refine"]["delta"]["kernel"])
+    assert float(np.abs(r1 - r0).max()) > 0.0
