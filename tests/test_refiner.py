@@ -13,6 +13,8 @@ from sqtpu.models.resnet import ResNetSQ
 from sqtpu.ops import quaternion as quat
 from sqtpu.ops.render import render_depth_hard_batch
 
+pytestmark = pytest.mark.slow  # heavy: excluded from -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def batch():
