@@ -359,7 +359,18 @@ def main(argv=None):
     true_p = sample_params(key, 1)[0]
     img = render_depth_hard(true_p, 256, n_bisect=12, quantize=True)
 
-    if cfg.optimizer == "lm":
+    if cfg.optimizer == "lm" and cfg.n_views > 1:
+        # multi-view classical recovery: posed turntable views about y
+        from sqtpu.ops.render import render_depth_view
+        angs = jnp.arange(cfg.n_views) * (2 * jnp.pi / cfg.n_views)
+        half = angs / 2
+        cam_qs = jnp.stack([jnp.zeros_like(half), jnp.sin(half),
+                            jnp.zeros_like(half), jnp.cos(half)], -1)
+        views = jax.vmap(
+            lambda q: render_depth_view(true_p, q, 256))(cam_qs)
+        p_fit, hist = recover_multiview(
+            views, cam_qs, iters=cfg.steps if cfg.steps <= 200 else 50)
+    elif cfg.optimizer == "lm":
         p_fit, hist = recover(img, iters=cfg.steps if cfg.steps <= 200 else 50)
     else:
         p_fit, hist = gd_fit(cfg, target_params=true_p, target_image=img)

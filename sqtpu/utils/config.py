@@ -180,6 +180,9 @@ class FitConfig:
     tau: float = 1.5
     sigmoid_sharpness: float = 260.0
     optimizer: str = "sgd"            # sgd (visu.py parity) | adam | lm
+    n_views: int = 1                  # >1 with optimizer=lm: multi-view
+    # classical recovery (fit.recover_multiview) from posed turntable
+    # views of the same SQ — beyond-reference
     log_interval: int = 100
     platform: str = ""                # override jax platform (e.g. "cpu")
 
