@@ -6,11 +6,12 @@
 #   c4r1: refine_sq, base warm-started from c4b + FROZEN, corrector at
 #         LR 1e-4, explicit_sym @128^3 sharp 20 + shape-weight 4
 #   c4r2: unfreeze everything, LR 3e-6 end-to-end polish
-# Waits for queue_r10 (classical n=1000 evals) to release the chip.
+# Waits for queue_r12 (c4c annealed-stage retrain; the original c4b
+# weights were lost to a VM reset) to release the chip.
 set -u
 cd /root/repo
 
-while [ ! -f runs/queue_r10.done ]; do sleep 60; done
+while [ ! -f runs/queue_r12.done ]; do sleep 60; done
 
 done_mark() { echo DONE > "runs/$1.done"; }
 is_done() { [ -f "runs/$1.done" ]; }
@@ -44,7 +45,7 @@ run_eval() {  # $1 ckpt dir, $2 out name, extra flags...
 
 # ---- stage 8a: frozen-base corrector training
 if ! is_done c4r1_train; then
-  RESUME="--init-base runs/c4b_model/weights_fp16.npz"
+  RESUME="--init-base artifacts/resnet_sq_c4_fp16.npz"
   [ -d runs/c4r1_model/last ] && \
     RESUME="--continue-training --resume-from last"
   timeout 14400 python -m sqtpu.train --model refine_sq --loss explicit_sym \
