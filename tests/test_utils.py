@@ -87,3 +87,32 @@ def test_step_timer():
     dt = t.stop(fence_scalar=np.float32(1.0))
     assert dt >= 0
     assert t.median == dt
+
+
+def test_plot_history_from_meta_and_jsonl(tmp_path):
+    """viz.plot_history: checkpoint-dir and metrics.jsonl inputs
+    (torch/helpers.py:323-327 equivalent)."""
+    import json
+
+    from sqtpu.viz import plot_history
+
+    ckpt = tmp_path / "run"
+    ckpt.mkdir()
+    meta = {"epoch": 2, "history": {"loss": [1.0, 0.5, 0.25],
+                                    "val_loss": [1.1, 0.6, 0.3],
+                                    "val_acc": [0.5, 0.7, 0.8]}}
+    (ckpt / "last.meta.json").write_text(json.dumps(meta))
+    out1 = tmp_path / "curve_meta.png"
+    hist = plot_history(str(ckpt), str(out1))
+    assert out1.exists() and out1.stat().st_size > 1000
+    assert hist["loss"] == [1.0, 0.5, 0.25]
+
+    jsonl = tmp_path / "train_metrics.jsonl"
+    with jsonl.open("w") as f:
+        for i in range(3):
+            f.write(json.dumps({"epoch": i, "loss": 1.0 / (i + 1),
+                                "val_loss": 1.2 / (i + 1)}) + "\n")
+    out2 = tmp_path / "curve_jsonl.png"
+    hist2 = plot_history(str(jsonl), str(out2))
+    assert out2.exists()
+    assert len(hist2["loss"]) == 3
