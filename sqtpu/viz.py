@@ -211,6 +211,81 @@ def fit_view(cfg, target_params: jax.Array, out_png: str,
     return frames
 
 
+def fit_animation(cfg, target_params: jax.Array, out_html: str,
+                  n_frames: int = 24, key=None):
+    """Animated per-step playback of the gradient-descent fit — the
+    headless equivalent of ``visu.py``'s LIVE open3d window updating
+    every optimizer step (``torch/visu.py:96-141,189-192``).
+
+    Renders one 3-D snapshot per fit segment and embeds them as base64
+    PNGs in a self-contained HTML file with play/pause + a step slider
+    (no pillow/ffmpeg in this image, so HTML replaces a GIF). Returns
+    the per-frame params.
+    """
+    import base64
+    import dataclasses
+    import io
+
+    from sqtpu.fit import gd_fit
+
+    plt = _plt()
+    seg = dataclasses.replace(cfg, steps=max(cfg.steps // n_frames, 1))
+    k = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    true_pts = np.asarray(geometry.sample_surface(target_params, 32, 16))
+
+    p = None
+    frames_b64, losses_hist = [], []
+    for i in range(n_frames):
+        p, hist = gd_fit(seg, target_params=target_params, p0=p, key=k)
+        loss_i = float(np.asarray(hist)[-1])
+        losses_hist.append(loss_i)
+        fit_pts = np.asarray(geometry.sample_surface(jnp.asarray(p), 32, 16))
+        fig = plt.figure(figsize=(4, 4))
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(true_pts[:, 0], true_pts[:, 1], true_pts[:, 2],
+                   s=2, c="lightgray")
+        ax.scatter(fit_pts[:, 0], fit_pts[:, 1], fit_pts[:, 2],
+                   s=2, c=fit_pts[:, 2], cmap="jet")
+        ax.set(xlim=(0, 1), ylim=(0, 1), zlim=(0, 1))
+        ax.set_title(f"step {(i + 1) * seg.steps}   loss {loss_i:.5f}",
+                     fontsize=9)
+        ax.axis("off")
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=90)
+        plt.close(fig)
+        frames_b64.append(base64.b64encode(buf.getvalue()).decode())
+
+    imgs_js = ",".join(f'"{b}"' for b in frames_b64)
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>sqtpu fit playback</title></head>
+<body style="font-family:sans-serif;text-align:center">
+<h3>Gradient-descent SQ fit ({cfg.loss} loss, {cfg.steps} steps)</h3>
+<img id="f" style="max-width:480px"><br>
+<button onclick="toggle()" id="b">pause</button>
+<input type="range" id="s" min="0" max="{n_frames - 1}" value="0"
+ oninput="show(+this.value)" style="width:360px">
+<span id="t"></span>
+<script>
+const imgs = [{imgs_js}];
+let i = 0, playing = true;
+function show(j) {{
+  i = j;
+  document.getElementById('f').src = 'data:image/png;base64,' + imgs[i];
+  document.getElementById('s').value = i;
+  document.getElementById('t').textContent = (i + 1) + '/' + imgs.length;
+}}
+function toggle() {{
+  playing = !playing;
+  document.getElementById('b').textContent = playing ? 'pause' : 'play';
+}}
+setInterval(() => {{ if (playing) show((i + 1) % imgs.length); }}, 250);
+show(0);
+</script></body></html>"""
+    with open(out_html, "w") as f:
+        f.write(html)
+    return losses_hist
+
+
 def plot_grad_flow(grads, out_png: str):
     """Mean/max |grad| per layer for a Flax grad tree
     (``helpers.py:242-268`` equivalent)."""

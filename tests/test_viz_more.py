@@ -119,3 +119,19 @@ def test_eval_random_iso_guard(tmp_path):
                      acc_render_size=16, out_dir=str(tmp_path / "out"))
     with pytest.raises(ValueError, match="iso"):
         eval_random(cfg)
+
+def test_fit_animation(base_p, tmp_path):
+    """Animated playback of the GD fit (torch/visu.py:96-141 live-window
+    equivalent): self-contained HTML with per-step frames, loss falls."""
+    from sqtpu.utils.config import FitConfig
+    from sqtpu.viz import fit_animation
+
+    cfg = FitConfig(loss="explicit", render_size=12, steps=80,
+                    learning_rate=5e-3, optimizer="adam", seed=1)
+    out = tmp_path / "fit.html"
+    losses = fit_animation(cfg, base_p.astype(jnp.float32), str(out),
+                           n_frames=4)
+    html = out.read_text()
+    assert html.count("data:image/png") == 1  # one <img>, injected via JS
+    assert html.count('"iVBOR') == 4          # 4 base64 PNG frames
+    assert losses[-1] < losses[0]
