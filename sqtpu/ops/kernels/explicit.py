@@ -15,6 +15,16 @@ frame params (same dF chain as the implicit kernel —
 :func:`sqtpu.ops.kernels.implicit._frame_grad_step`), so HBM traffic is
 params in, scalars out; no volume ever exists.
 
+Under differentiation the loss and its gradient come from ONE fused
+sweep (``_fused_kernel``): the explicit loss is pointwise, so the
+gradient needs no completed-sweep state (unlike the implicit loss's
+L1-vs-depth sign) and the per-sample upstream cotangent is a scalar
+applied outside the kernel. This shares the two field evaluations per
+point between loss and gradient — 26 transcendentals/point instead of
+the 48 a separate fwd+bwd pair costs — and makes the training-path
+sweep count 1 instead of 2. The undifferentiated (eval) path keeps the
+cheaper loss-only sweep (22/point).
+
 Unlike the implicit grid (N² divisible by 128), the explicit plane has
 (N+1)² points — not lane-aligned — so planes are padded to a multiple of
 128 and masked: padded lanes contribute 0 to the loss and the gradient.
@@ -78,14 +88,14 @@ def _supported(n: int) -> bool:
 
 
 def _tile_b(batch: int, n: int) -> int:
-    """Samples per program: divide the batch AND keep the backward's 17
-    accumulator planes within ~3 MB of VMEM (the per-iteration field
+    """Samples per program: divide the batch AND keep the fused sweep's
+    18 accumulator planes within ~3 MB of VMEM (the per-iteration field
     temporaries scale with the same tile_rows; 4 MB of accumulators put
     n=160's total scoped stack at 16.5 MB > the 16 MB limit)."""
     rows = _rows(n)
     budget = 3 * 1024 * 1024
     for t in (8, 4, 2):
-        if batch % t == 0 and N_PAR * t * rows * LANES * 4 <= budget:
+        if batch % t == 0 and (N_PAR + 1) * t * rows * LANES * 4 <= budget:
             return t
     return 1
 
@@ -154,8 +164,19 @@ def _fwd_kernel(n: int, tile_b: int, sharp: float, par_t_ref, par_p_ref,
             acc[k * rows:(k + 1) * rows])
 
 
-def _bwd_kernel(n: int, tile_b: int, sharp: float, par_t_ref, par_p_ref,
-                g_ref, dpar_ref, acc_scr):
+def _fused_kernel(n: int, tile_b: int, sharp: float, par_t_ref, par_p_ref,
+                  loss_ref, dpar_ref, acc_scr):
+    """ONE sweep computing the loss AND its (B, 17) frame gradient.
+
+    The explicit loss is pointwise — each plane's gradient contribution
+    needs nothing from later planes (unlike the implicit loss, whose L1
+    sign depends on the completed depth) — so training never needs the
+    separate fwd+bwd sweeps: the two field evaluations per point (true +
+    pred, 2×11 transcendentals) are shared between the loss and the
+    gradient, cutting the per-point transcendental count from 48
+    (22 fwd + 26 bwd) to 26. The upstream cotangent is applied OUTSIDE
+    the kernel (a (B,)·(B,24) multiply) since the per-sample loss is a
+    scalar. acc_scr plane N_PAR accumulates the squared difference."""
     rows = _rows(n)
     prog = pl.program_id(0)
     tile_rows = tile_b * rows
@@ -163,14 +184,7 @@ def _bwd_kernel(n: int, tile_b: int, sharp: float, par_t_ref, par_p_ref,
     pp_t = _param_planes(par_t_ref, prog, tile_b, rows)
     pp_p = _param_planes(par_p_ref, prog, tile_b, rows)
 
-    # upstream cotangent per sample, broadcast to its row block
-    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
-    sample = row // rows
-    g = jnp.full((tile_rows, LANES), 0.0, jnp.float32)
-    for k in range(tile_b):
-        g = jnp.where(sample == k, g_ref[prog * tile_b + k], g)
-
-    acc_scr[:] = jnp.zeros((N_PAR, tile_rows, LANES), jnp.float32)
+    acc_scr[:] = jnp.zeros((N_PAR + 1, tile_rows, LANES), jnp.float32)
     lo, hi = _tile_bounds(par_p_ref, prog, tile_b)
 
     def body(j, carry):
@@ -178,15 +192,18 @@ def _bwd_kernel(n: int, tile_b: int, sharp: float, par_t_ref, par_p_ref,
         occ_t = _occ(_field_terms(pp_t, X, Y, z)["F"], sharp)
         T = _field_terms(pp_p, X, Y, z)
         occ_p = _occ(T["F"], sharp)
+        d = (occ_t - occ_p) * valid
+        acc_scr[N_PAR] += d * d
         # d (occ_t - occ_p)² / dF_p = 2(occ_t-occ_p)·sharp·occ_p(1-occ_p)
-        gF = g * valid * 2.0 * (occ_t - occ_p) * sharp \
-            * occ_p * (1.0 - occ_p)
+        gF = valid * 2.0 * (occ_t - occ_p) * sharp * occ_p * (1.0 - occ_p)
         _frame_grad_step(acc_scr, T, gF, pp_p, X, Y, z)
         return carry
 
     jax.lax.fori_loop(lo, hi + 1, body, 0)
 
     for k in range(tile_b):
+        loss_ref[prog * tile_b + k, 0] = jnp.sum(
+            acc_scr[N_PAR, k * rows:(k + 1) * rows])
         for i in range(N_PAR):
             dpar_ref[prog * tile_b + k, i] = jnp.sum(
                 acc_scr[i, k * rows:(k + 1) * rows])
@@ -214,40 +231,50 @@ def _fwd_call(par_t, par_p, n: int, tile_b: int, sharp: float):
     )(par_t, par_p)[:, 0]
 
 
-def _bwd_call(par_t, par_p, g, n: int, tile_b: int, sharp: float):
+def _fused_call(par_t, par_p, n: int, tile_b: int, sharp: float):
     b = par_p.shape[0]
     rows = _rows(n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # par_t, par_p (B, 24), upstream g (B,)
+        num_scalar_prefetch=2,  # par_t, par_p (B, 24) ride SMEM
         grid=(b // tile_b,),
         in_specs=[],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # dpar (B, 24)
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # loss sums (B, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dpar (B, 24)
+        ],
         scratch_shapes=[
-            pltpu.VMEM((N_PAR, tile_b * rows, LANES), jnp.float32),
+            pltpu.VMEM((N_PAR + 1, tile_b * rows, LANES), jnp.float32),
         ],
     )
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, n, tile_b, sharp),
+    sums, dpar = pl.pallas_call(
+        functools.partial(_fused_kernel, n, tile_b, sharp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 24), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 24), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(par_t, par_p, g)
+    )(par_t, par_p)
+    return sums[:, 0], dpar
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _core(par_t, par_p, n, tile_b, sharp):
+    # primal (inference/eval) path: loss-only sweep, no gradient work
     return _fwd_call(par_t, par_p, n, tile_b, sharp)
 
 
 def _core_fwd(par_t, par_p, n, tile_b, sharp):
-    return _fwd_call(par_t, par_p, n, tile_b, sharp), (par_t, par_p)
+    # differentiated path: ONE fused sweep emits the loss and the raw
+    # (B, 24) frame gradient; the residual is those 24 floats/sample
+    sums, dpar = _fused_call(par_t, par_p, n, tile_b, sharp)
+    return sums, dpar
 
 
 def _core_bwd(n, tile_b, sharp, res, g):
-    par_t, par_p = res
-    dpar = _bwd_call(par_t, par_p, g, n, tile_b, sharp)
+    dpar = res
     # the true side is stop_gradient'ed by the wrapper (see module doc)
-    return jnp.zeros_like(par_t), dpar
+    return jnp.zeros_like(dpar), g[:, None] * dpar
 
 
 _core.defvjp(_core_fwd, _core_bwd)

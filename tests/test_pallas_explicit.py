@@ -201,3 +201,23 @@ def test_sharp_parameter_matches_xla(batch):
         np.testing.assert_allclose(g_win, g_ref, rtol=5e-3, atol=5e-4)
     ref5 = float(losses.explicit_loss(true_p, pred, 16))
     assert abs(ref - ref5) > 1e-4  # sharp is not a no-op
+
+
+@pytest.mark.parametrize("z_window", [False, True])
+def test_fused_value_and_grad(batch, z_window):
+    """Under differentiation the loss comes from the FUSED one-sweep
+    kernel (custom_vjp fwd), not the loss-only kernel — its value must
+    match the XLA path too, not just its gradient."""
+    from sqtpu.ops.kernels.explicit import explicit_loss_pallas
+
+    true_p, pred = batch
+    ref_v = float(losses.explicit_loss(true_p, pred, 16))
+    ref_g = np.asarray(jax.grad(
+        lambda pp: losses.explicit_loss(true_p, pp, 16))(pred))
+    v, g = jax.value_and_grad(
+        lambda pp: explicit_loss_pallas(true_p, pp, 16,
+                                        z_window=z_window))(pred)
+    rel = 1e-3 if z_window else 1e-5
+    assert float(v) == pytest.approx(ref_v, rel=rel)
+    atol = 5e-4 if z_window else 1e-6
+    np.testing.assert_allclose(np.asarray(g), ref_g, rtol=5e-3, atol=atol)
