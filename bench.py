@@ -115,10 +115,10 @@ def main():
     # matching the shipping training configs) — the numbers behind the
     # staged-recipe wall-clock. 96³ kept for cross-round comparability;
     # 128³ (+ sharp-annealed) is the current stage-6/7 config.
-    def time_step(cfg_x, batch=None):
+    def time_step(cfg_x, batch=None, model_dtype=None):
         b = batch or BATCH
         imgs_x, labels_x = imgs[:b], labels[:b]
-        model_x = ResNetSQ()
+        model_x = ResNetSQ(dtype=model_dtype) if model_dtype else ResNetSQ()
         state_x = create_train_state(model_x, jax.random.PRNGKey(3), cfg_x)
         step_x = make_train_step(model_x, cfg_x, mesh)
         state_x, loss_x = step_x(state_x, imgs_x, labels_x)   # compile
@@ -140,6 +140,14 @@ def main():
     explicit128_s20_per_chip = time_step(TrainConfig(
         batch_size=BATCH, render_size=128, loss="explicit_sym",
         gauge_weight=2.0, explicit_sharp=20.0, dtype="float32"))
+    # bf16 encoder + the same fp32 fused explicit kernel: the explicit
+    # recipe step is part encoder-bound (see README roofline note); this
+    # quantifies the headroom a mixed-precision recipe would buy
+    explicit128_s20_bf16_per_chip = time_step(
+        TrainConfig(batch_size=BATCH, render_size=128, loss="explicit_sym",
+                    gauge_weight=2.0, explicit_sharp=20.0,
+                    dtype="bfloat16"),
+        model_dtype=jnp.bfloat16)
 
     # ---- the SP ("long axis") path's single-chip cost pair: the fused
     # kernel vs the jnp loss at 128³ where SP would actually be used
@@ -188,7 +196,10 @@ def main():
                 explicit128_per_chip, 2),
             "explicit128_sharp20_imgs_per_sec_per_chip": round(
                 explicit128_s20_per_chip, 2),
-            "explicit128_note": "stage-6/7 recipe step (explicit_sym @128^3; sharp20 = round-4 annealed stage, tighter z-window)",
+            "explicit128_note": "stage-6/7 recipe step (explicit_sym @128^3; sharp20 = round-4 annealed stage, tighter z-window; round-5 fused value+grad sweep)",
+            "explicit128_sharp20_bf16_imgs_per_sec_per_chip": round(
+                explicit128_s20_bf16_per_chip, 2),
+            "explicit128_bf16_note": "same step with a bf16 encoder (fp32 fused kernel unchanged) - the mixed-precision headroom of the explicit recipe",
             "sp_implicit128_pallas_imgs_per_sec_per_chip": round(
                 implicit128_pallas, 2),
             "sp_implicit128_jnp_imgs_per_sec_per_chip": round(

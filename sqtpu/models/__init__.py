@@ -5,7 +5,9 @@ from sqtpu.models.heads import (  # noqa: F401
     BlockHead, PositionHead, Rotation6DHead, RotationHead, ShapeHead,
     SizeHead,
 )
-from sqtpu.models.nets import GenericNetSQ, KerasIsoNet, KerasRotNet  # noqa: F401
+from sqtpu.models.nets import (  # noqa: F401
+    GenericNetSQ, KerasIsoNet, KerasRotNet, KerasRotNetFixed,
+)
 from sqtpu.models.resnet import BasicBlock, ResNet18, ResNetSQ, params_vector  # noqa: F401
 from sqtpu.models.torch_port import (  # noqa: F401
     export_torchvision_resnet18, load_state_dict_file,
@@ -25,11 +27,14 @@ MODEL_REGISTRY = {
     "generic_sq": GenericNetSQ,
     "keras_iso": KerasIsoNet,
     "keras_rot": KerasRotNet,
+    # 2019 architecture + the probe-justified repairs (see nets.py)
+    "keras_rot_fixed": KerasRotNetFixed,
 }
 
 # parameter-vector width each model family regresses
 OUTPUT_DIMS = {"resnet_sq": 12, "resnet_sq6d": 12, "refine_sq": 12,
-               "generic_sq": 4, "keras_iso": 8, "keras_rot": 12}
+               "generic_sq": 4, "keras_iso": 8, "keras_rot": 12,
+               "keras_rot_fixed": 12}
 
 
 def build_model(name: str, **kwargs):

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
+import jax.numpy as jnp
 
 from sqtpu.models.encoders import ConvEncoder, MLPNeck
 from sqtpu.models.heads import RotationHead
@@ -42,6 +44,39 @@ class KerasIsoNet(nn.Module):
                         name="encoder")(x, train)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(self.outputs, dtype=self.dtype, name="out")(x)
+
+
+class KerasRotNetFixed(nn.Module):
+    """The 2019 rotation architecture with the repairs the landscape
+    probe justifies: bounded block activations and a unit quaternion.
+
+    ``tools/probe_keras2019.py`` shows the 2019 occupancy-field MSE
+    (``py/loss_functions.py:91-101``) has near-zero minima at WRONG
+    rotations beyond ~0.9 rad offset — no head can learn rotation
+    through it, so the fix is the objective, not more capacity. This
+    model keeps the 2019 encoder stack (13-conv ReLU ->
+    Flatten -> Dense(12), Q8-fixed) and adds only what the repaired
+    objective (the 2020 explicit loss) assumes of its input: sigmoid on
+    size/shape/position (``torch/models.py:33-99`` head convention) and
+    an L2-normalized quaternion (``:22-30``). Train with
+    ``--model keras_rot_fixed --loss explicit``.
+    """
+
+    outputs: int = 12
+    dtype: type = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvEncoder(activation="relu", dtype=self.dtype,
+                        name="encoder")(x, train)
+        x = x.reshape(x.shape[0], -1)
+        raw = nn.Dense(self.outputs, dtype=self.dtype, name="out")(x)
+        blocks = nn.sigmoid(raw[..., :8])
+        q = raw[..., 8:12]
+        # NaN-safe normalize (see heads.RotationHead for the 0-logit case)
+        sumsq = jnp.sum(q * q, axis=-1, keepdims=True)
+        q = q * jax.lax.rsqrt(jnp.maximum(sumsq, jnp.asarray(1e-6, q.dtype)))
+        return jnp.concatenate([blocks, q], axis=-1)
 
 
 class KerasRotNet(nn.Module):
