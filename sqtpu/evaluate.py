@@ -360,6 +360,13 @@ def eval_random(cfg: EvalConfig):
     for name, lat in predict_latency.items():
         print(f"--Per-image latency (predict only, {name}): "
               f"{1e3 * lat:.3f} ms")
+    # batch1 here is per-DISPATCH cost over the axon tunnel (one jit
+    # round-trip per image), NOT model time — the per-image model cost is
+    # the batched row; resident low-latency serving is sqtpu.serve
+    # (see runs/serve_bench.json for measured p50/p99 under load)
+    if "batch1" in predict_latency:
+        print("--  (batch1 = per-dispatch tunnel round-trip; see "
+              "sqtpu.serve for the serving-latency path)")
     np.savez(os.path.join(cfg.out_dir, "accs.npz"),
              rot_iou=rot_iou, full_iou=full_iou, angle=ang,
              angle_sym=ang_sym, angle_gauge=ang_gauge,
