@@ -69,6 +69,25 @@ def test_pallas_interpret_dispatch_smoke(tiny_batch, monkeypatch):
     assert got == pytest.approx(want, rel=1e-3)
 
 
+def test_refiner_dispatch_smoke():
+    """IterativeSQ (render-and-compare corrector) builds and runs one
+    tiny forward pass — catches plumbing regressions in the in-graph
+    render + delta chain without the slow tier's 256^2 renders."""
+    from sqtpu.models.refiner import IterativeSQ
+
+    model = IterativeSQ(n_refine=1, fcn=16, n_sweep=8)
+    x = jnp.zeros((2, 32, 32, 1), jnp.float32).at[:, 8:24, 8:24].set(0.4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    size, shape, pos, rot = model.apply(variables, x, train=False)
+    assert size.shape == (2, 3) and shape.shape == (2, 2)
+    assert pos.shape == (2, 3) and rot.shape == (2, 4)
+    out = np.concatenate([np.asarray(size), np.asarray(shape),
+                          np.asarray(pos), np.asarray(rot)], axis=-1)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(rot), axis=-1),
+                               1.0, rtol=1e-5)
+
+
 def test_make_batch_dp_smoke(monkeypatch):
     monkeypatch.setenv("SQTPU_PALLAS_INTERPRET", "1")
     from sqtpu.parallel.sharded_losses import make_batch_dp
