@@ -71,6 +71,13 @@ from sqtpu.ops.kernels.implicit import (
 )
 
 SHARP = 5.0  # explicit occupancy sharpness (classes.py:187, quirk Q2)
+# The fused value+grad sweep adds a (B, 24) SMEM gradient output on top
+# of the implicit kernel's (params-in, loss-out) SMEM layout; batch 512
+# exceeds v5e's 1 MB SMEM envelope by 144 B (measured: remote compile
+# "Ran out of memory in memory space smem" at B=512), so explicit
+# pallas_calls chunk at 256 regardless of SQTPU_KERNEL_MAX_BATCH.
+# Throughput is flat in batch (README bench sweep), so chunking is free.
+_FUSED_MAX_BATCH = 256
 Z_MARGIN = 0.08  # default window margin in normalized z units
 # param-slot indices (within the (B, 24) SMEM layout) carrying the
 # per-sample window bounds as float lattice indices; slots 17..23 are
@@ -344,7 +351,7 @@ def explicit_loss_pallas(
         par_p = par_p.at[:, SLOT_JHI].set(float(n))  # [0, n]: full sweep
         tiling = lambda nb: _tile_b(nb, n)
 
-    b, mb = par_p.shape[0], _max_batch()
+    b, mb = par_p.shape[0], min(_max_batch(), _FUSED_MAX_BATCH)
     if b > mb:
         sums = jnp.concatenate([
             _core(par_t[i:i + mb], par_p[i:i + mb], n,

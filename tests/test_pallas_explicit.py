@@ -203,6 +203,32 @@ def test_sharp_parameter_matches_xla(batch):
     assert abs(ref - ref5) > 1e-4  # sharp is not a no-op
 
 
+def test_fused_batch_chunking_parity(batch, monkeypatch):
+    """Batches above the fused kernel's SMEM envelope are chunked at the
+    wrapper. The fused value+grad sweep adds a (B, 24) SMEM gradient
+    output over the implicit kernel's layout, so its cap is 256, NOT
+    SQTPU_KERNEL_MAX_BATCH's 512 (measured: B=512 exceeds v5e's 1 MB
+    SMEM by 144 B). Chunked value and gradient must match unchunked."""
+    import sqtpu.ops.kernels.explicit as ek
+
+    true_p, pred = batch
+
+    def loss(pp):
+        return ek.explicit_loss_pallas(true_p, pp, 16)
+
+    whole_l, whole_g = jax.value_and_grad(loss)(pred)
+    monkeypatch.setattr(ek, "_FUSED_MAX_BATCH", 2)  # force 2 chunks of 2
+    chunk_l, chunk_g = jax.value_and_grad(loss)(pred)
+    np.testing.assert_allclose(np.asarray(chunk_l), np.asarray(whole_l),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunk_g), np.asarray(whole_g),
+                               rtol=1e-6)
+    # the envelope itself: the wrapper cap must never exceed 256
+    monkeypatch.undo()
+    monkeypatch.setenv("SQTPU_KERNEL_MAX_BATCH", "1024")
+    assert min(ek._max_batch(), ek._FUSED_MAX_BATCH) == 256
+
+
 @pytest.mark.parametrize("z_window", [False, True])
 def test_fused_value_and_grad(batch, z_window):
     """Under differentiation the loss comes from the FUSED one-sweep

@@ -128,13 +128,20 @@ def main():
     dt_enc16 = enc_step("bfloat16", jnp.bfloat16)
 
     # ---- 3. full explicit_sym step (fp32, the shipping recipe)
-    cfg = TrainConfig(batch_size=BATCH, render_size=N, loss="explicit_sym",
-                      gauge_weight=2.0, explicit_sharp=SHARP,
-                      dtype="float32")
-    model = ResNetSQ()
-    state = create_train_state(model, jax.random.PRNGKey(3), cfg)
-    step = make_train_step(model, cfg, mesh)
-    dt_full = _time_train(step, state, imgs, labels)
+    def full_step(dtype, model_dtype):
+        cfg = TrainConfig(batch_size=BATCH, render_size=N,
+                          loss="explicit_sym", gauge_weight=2.0,
+                          explicit_sharp=SHARP, dtype=dtype)
+        model = ResNetSQ(dtype=model_dtype) if model_dtype else ResNetSQ()
+        state = create_train_state(model, jax.random.PRNGKey(3), cfg)
+        step = make_train_step(model, cfg, mesh)
+        return _time_train(step, state, imgs, labels)
+
+    dt_full = full_step("float32", None)
+    # bf16 encoder + fp32 Pallas loss (the bench headline's mixed-precision
+    # recipe applied to the explicit path): the encoder is the non-kernel
+    # 60% of the fp32 step, so this is where the remaining speedup lives
+    dt_full16 = full_step("bfloat16", jnp.bfloat16)
 
     print(json.dumps({
         "batch": BATCH, "render_size": N, "sharp": SHARP,
@@ -148,6 +155,8 @@ def main():
         "encoder_bf16_ms": round(dt_enc16 * 1e3, 2),
         "full_step_ms": round(dt_full * 1e3, 2),
         "full_imgs_per_sec_per_chip": round(BATCH / dt_full, 1),
+        "full_step_bf16_ms": round(dt_full16 * 1e3, 2),
+        "full_bf16_imgs_per_sec_per_chip": round(BATCH / dt_full16, 1),
         "sum_kernel_plus_encoder_ms": round(
             (dt_kernel + dt_enc32) * 1e3, 2),
     }))
