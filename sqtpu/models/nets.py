@@ -59,7 +59,18 @@ class KerasRotNetFixed(nn.Module):
     objective (the 2020 explicit loss) assumes of its input: sigmoid on
     size/shape/position (``torch/models.py:33-99`` head convention) and
     an L2-normalized quaternion (``:22-30``). Train with
-    ``--model keras_rot_fixed --loss explicit``.
+    ``--model keras_rot_fixed --loss explicit --grad-clip 1.0``.
+
+    The output Dense starts NEUTRAL: small-variance kernel and a bias of
+    (0…0, 0,0,0,1) — sigmoid(0) = 0.5 mid-range blocks, identity
+    quaternion. A default-init Dense(12) under the ×100-scaled explicit
+    gradients saturates the sigmoids within the first epoch (a → 0,
+    e → 1: the shrink-to-sliver spurious minimum of occupancy MSE, an
+    EMPTY prediction with a flat loss — runs/krf_train.log stalled there
+    for 90 epochs with closed-loop IoU exactly 0). Starting at the mean
+    shape with bounded early steps (--grad-clip) keeps the surface band
+    informative from step 0, which is the regime the capture-range probe
+    (tools/probe_keras2019.py) proves convergent.
     """
 
     outputs: int = 12
@@ -70,7 +81,16 @@ class KerasRotNetFixed(nn.Module):
         x = ConvEncoder(activation="relu", dtype=self.dtype,
                         name="encoder")(x, train)
         x = x.reshape(x.shape[0], -1)
-        raw = nn.Dense(self.outputs, dtype=self.dtype, name="out")(x)
+
+        def _neutral_bias(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            return b.at[-1].set(1.0)  # identity quaternion (xyzw)
+
+        raw = nn.Dense(
+            self.outputs, dtype=self.dtype, name="out",
+            kernel_init=nn.initializers.variance_scaling(
+                0.01, "fan_in", "truncated_normal"),
+            bias_init=_neutral_bias)(x)
         blocks = nn.sigmoid(raw[..., :8])
         q = raw[..., 8:12]
         # NaN-safe normalize (see heads.RotationHead for the 0-logit case)

@@ -14,13 +14,36 @@ class SQTrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-def make_optimizer(learning_rate: float, weight_decay: float = 0.0):
+def make_optimizer(learning_rate: float, weight_decay: float = 0.0,
+                   grad_clip: float = 0.0):
     """Adam with runtime-adjustable LR (for the plateau scheduler).
 
     Reference: Adam(lr=1e-4, weight_decay=0) ``torch/train.py:51``.
     ``optax.inject_hyperparams`` exposes ``opt_state.hyperparams
     ['learning_rate']`` for the ReduceLROnPlateau equivalent.
+
+    ``grad_clip`` > 0 prepends a global-norm clip INSIDE the injected
+    transform (so ``hyperparams['learning_rate']`` stays where get_lr/
+    set_lr expect it). The default 0 keeps the optimizer-state pytree
+    identical to older checkpoints, which must keep loading.
     """
+    if grad_clip:
+        # the adam-vs-adamw choice must be made OUTSIDE the injected
+        # function: inject_hyperparams traces its float kwargs, and a
+        # Python bool() on a traced weight_decay fails at jit time
+        if weight_decay:
+            def _clipped(learning_rate, weight_decay):
+                return optax.chain(
+                    optax.clip_by_global_norm(grad_clip),
+                    optax.adamw(learning_rate, weight_decay=weight_decay))
+            return optax.inject_hyperparams(_clipped)(
+                learning_rate=learning_rate, weight_decay=weight_decay)
+
+        def _clipped(learning_rate):
+            return optax.chain(optax.clip_by_global_norm(grad_clip),
+                               optax.adam(learning_rate))
+        return optax.inject_hyperparams(_clipped)(
+            learning_rate=learning_rate)
     if weight_decay:
         return optax.inject_hyperparams(optax.adamw)(
             learning_rate=learning_rate, weight_decay=weight_decay
@@ -35,7 +58,8 @@ def create_train_state(
         input_shape = (1, config.image_size, config.image_size, 1)
     dummy = jnp.zeros(input_shape, jnp.float32)
     variables = model.init(key, dummy, train=False)
-    tx = make_optimizer(config.learning_rate, config.weight_decay)
+    tx = make_optimizer(config.learning_rate, config.weight_decay,
+                        getattr(config, "grad_clip", 0.0))
     return SQTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

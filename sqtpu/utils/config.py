@@ -51,6 +51,11 @@ class TrainConfig:
     # optimization (train.py:40, 51-52)
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
+    grad_clip: float = 0.0            # global-norm gradient clip, 0 = off
+    # (the reference never clips; the ×100-scaled explicit gradients can
+    # slam a plain unnormalized encoder's sigmoid heads into saturation
+    # in the first epoch — the shrink-to-sliver spurious minimum seen in
+    # runs/krf_train.log. Clip ~1.0 keeps the early steps bounded.)
     batch_size: int = 32
     max_epochs: int = 100
     steps_per_epoch: int = 100        # synthetic data is infinite; define epoch

@@ -99,3 +99,45 @@ def test_make_batch_dp_smoke(monkeypatch):
                 jax.random.PRNGKey(5))
     assert imgs.shape == (4, 16, 16, 1) and labels.shape == (4, 12)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_grad_clip_optimizer_jit_smoke():
+    """make_optimizer(grad_clip>0) must build a transform whose injected
+    hyperparams work UNDER JIT for both adam and adamw — the first cut
+    branched on a traced weight_decay inside the injected fn and crashed
+    at step-trace time (TracerBoolConversionError)."""
+    import optax
+
+    from sqtpu.training.state import make_optimizer
+
+    for wd in (0.0, 1e-4):
+        tx = make_optimizer(1e-4, wd, grad_clip=1.0)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(opt_state, params):
+            grads = {"w": jnp.full((3,), 100.0)}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        params2, opt_state = step(opt_state, params)
+        # global-norm clip to 1.0 bounds the Adam step to ~lr per coord
+        assert float(jnp.abs(params2["w"] - params["w"]).max()) < 3e-4
+        assert float(opt_state.hyperparams["learning_rate"]) > 0
+
+
+def test_keras_rot_fixed_neutral_init():
+    """The fixed 2019 head must START at the neutral shape: mid-range
+    sigmoid blocks and an identity quaternion (the anti-saturation
+    repair; a default-init Dense(12) collapses to the shrink-to-sliver
+    spurious minimum under the explicit loss — runs/krf_train.log)."""
+    from sqtpu.models import build_model
+
+    model = build_model("keras_rot_fixed")
+    x = jnp.zeros((2, 64, 64, 1), jnp.float32).at[:, 16:48, 16:48].set(0.5)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    pred = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(pred[:, :8], 0.5, atol=0.05)
+    np.testing.assert_allclose(
+        pred[:, 8:12], np.tile([0.0, 0.0, 0.0, 1.0], (2, 1)), atol=0.05)
