@@ -702,7 +702,7 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
         if cfg.ckpt_dir and np.isfinite(val_loss) and (
                 best_val is None or val_loss < best_val):
             best_val = val_loss
-            save_checkpoint(ckpt_path, state, history, epoch)
+            save_checkpoint(ckpt_path, state, history, epoch, config=cfg)
             saved = " [saved]"
         else:
             saved = ""
@@ -711,7 +711,7 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
                 epoch % last_every == last_every - 1):
             # crash-recovery checkpoint (SURVEY.md §5.3: the reference has
             # no failure-recovery story beyond manual best-ckpt restarts)
-            save_checkpoint(last_path, state, history, epoch)
+            save_checkpoint(last_path, state, history, epoch, config=cfg)
             last_saved_epoch = epoch
         MetricLogger.line(
             f"Epoch {epoch}: loss {train_loss:.6f}  val_loss {val_loss:.6f} "
@@ -725,7 +725,7 @@ def train(cfg: TrainConfig, synthetic_size: Optional[int] = None):
     # up to save_last_interval-1 epochs stale (round-2 advisor finding)
     if (cfg.ckpt_dir and getattr(cfg, "save_last", True)
             and epoch > last_saved_epoch):
-        save_checkpoint(last_path, state, history, epoch)
+        save_checkpoint(last_path, state, history, epoch, config=cfg)
     profile_stack.close()
     return state, history
 

@@ -9,6 +9,7 @@ history; training saves only on a new best validation loss
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 
@@ -21,8 +22,14 @@ def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
-def save_checkpoint(path: str, state_tree, history: dict, epoch: int) -> None:
-    """Write a full training checkpoint (overwrites)."""
+def save_checkpoint(path: str, state_tree, history: dict, epoch: int,
+                    config=None) -> None:
+    """Write a full training checkpoint (overwrites).
+
+    ``config`` (a dataclass or dict) is serialized into the sidecar
+    ``.meta.json`` so the exact training recipe survives even if the
+    run's log file is lost — the meta files are small enough to commit.
+    """
     path = _abs(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
@@ -40,6 +47,11 @@ def save_checkpoint(path: str, state_tree, history: dict, epoch: int) -> None:
             "history": jax.tree_util.tree_map(
                 lambda x: np.asarray(x).tolist()
                 if isinstance(x, (np.ndarray, jax.Array)) else x, history)}
+    if config is not None:
+        if dataclasses.is_dataclass(config):
+            config = dataclasses.asdict(config)
+        meta["config"] = {k: v for k, v in dict(config).items()
+                          if isinstance(v, (str, int, float, bool, type(None)))}
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f)
 
