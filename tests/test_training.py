@@ -122,6 +122,28 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     )
 
 
+def test_checkpoint_meta_embeds_config(tiny_setup, tmp_path):
+    # The sidecar meta.json must carry the training recipe: a VM reset
+    # once wiped an uncommitted run log, leaving a converged checkpoint
+    # with no record of the flags that produced it.
+    import json
+
+    cfg, model, state, imgs, labels = tiny_setup
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, {"loss": [0.5]}, epoch=3, config=cfg)
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["config"]["model"] == cfg.model
+    assert meta["config"]["loss"] == cfg.loss
+    assert meta["config"]["render_size"] == cfg.render_size
+    # every scalar field of the dataclass must survive the round-trip
+    import dataclasses
+
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if isinstance(v, (str, int, float, bool, type(None))):
+            assert meta["config"][f.name] == v
+
+
 def test_synthetic_batch_shapes():
     from sqtpu.data.synthetic import make_batch, sample_params
 
